@@ -1,0 +1,142 @@
+"""The path-tracing integrator: a masked, shape-static wavefront loop under jit.
+
+Reproduces the exact estimator of Camera::trace (camera.rs:170-228):
+
+  for bounce in 0..max_depth:
+      hit = intersect everything in (1e-3, inf)
+      miss  -> radiance += T * environment; stop
+      radiance += T * emitted
+      bounce > 5 -> russian roulette with p = clamp(luminance(T), 0.01, 1)
+      one-sample MIS: with prob p_light sample the light list, else the BSDF
+      (sample = None -> stop)
+      pdf  = p_bsdf * bsdf_pdf + p_light * light_pdf   (mixture, camera.rs:212-214)
+      T   *= eval / pdf
+      next origin = hit + 1e-3 * sign(dir . ng) * ng   (camera.rs:217-222)
+
+Control flow is TPU-native: instead of per-path `break`s, every lane carries an
+`alive` mask and the whole wavefront iterates under `lax.while_loop` until all lanes
+die or max_depth is reached. Division by a zero pdf is left unguarded exactly like the
+reference (NaNs quantize to black, film.rs... see film.py).
+
+p_light is 0.5 iff the scene has lights (camera.rs:199) and is a *static* Python value:
+scenes 4 & 6 place emissive objects in `objects` so their lights list is empty and MIS
+degenerates to pure BSDF sampling — reproduced here by compiling the light-sampling
+branch out entirely.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import linalg as la
+from ..core import rng
+from ..ops import lights as light_ops
+from ..ops.bsdf import bsdf_eval, bsdf_pdf, bsdf_sample, make_shade
+from ..ops.envmap import sample_environment
+from ..ops.intersect import closest_hit
+
+T_MIN = jnp.float32(1e-3)  # camera.rs:171
+T_MAX = la.BIG
+EPS = jnp.float32(1e-3)  # bsdf/mod.rs:19
+MIN_BOUNCES = 5  # camera.rs:172
+
+
+def trace_radiance(sd, cam, pixel_ids, rows, cols, sample_ids, seed, max_depth, has_lights):
+    """Trace one path per lane; returns radiance [B,3].
+
+    max_depth and has_lights must be static (Python) values.
+    """
+    from .camera import generate_rays
+
+    o, d, time = generate_rays(cam, rows, cols, pixel_ids, sample_ids, seed)
+    b = pixel_ids.shape[0]
+    p_light = jnp.float32(0.5 if has_lights else 0.0)
+    p_bsdf = jnp.float32(1.0) - p_light
+
+    state = dict(
+        bounce=jnp.int32(0),
+        o=o,
+        d=d,
+        time=time,
+        throughput=jnp.ones((b, 3), jnp.float32),
+        radiance=jnp.zeros((b, 3), jnp.float32),
+        alive=jnp.ones((b,), bool),
+    )
+
+    def cond(s):
+        return (s["bounce"] < max_depth) & jnp.any(s["alive"])
+
+    def body(s):
+        bounce = s["bounce"]
+        o, d, time = s["o"], s["d"], s["time"]
+        T, L, alive = s["throughput"], s["radiance"], s["alive"]
+
+        hit = closest_hit(sd, o, d, time, T_MIN, T_MAX)
+
+        # miss -> environment (camera.rs:180-183)
+        env = sample_environment(sd, d)
+        missed = alive & ~hit.valid
+        L = L + jnp.where(missed[..., None], T * env, 0.0)
+        alive = alive & hit.valid
+
+        # emission from the hit (camera.rs:186-187)
+        shade = make_shade(sd, hit.mat_id, hit.u, hit.v, hit.point, hit.ng, hit.ns, hit.front)
+        L = L + jnp.where(alive[..., None], T * shade.emission, 0.0)
+
+        # per-bounce uniforms
+        ctrl = rng.bounce_ctr(bounce)
+        rr_u, mis_r, light_pick, lobe_u = rng.uniform4(
+            seed, pixel_ids, sample_ids, ctrl + rng.SLOT_CTRL
+        )
+        e1, e2, fresnel_u, _ = rng.uniform4(seed, pixel_ids, sample_ids, ctrl + rng.SLOT_BSDF)
+        lu1, lu2, _, _ = rng.uniform4(seed, pixel_ids, sample_ids, ctrl + rng.SLOT_LIGHT)
+
+        # russian roulette after MIN_BOUNCES (camera.rs:190-196)
+        p = jnp.clip(la.luminance(T), 0.01, 1.0)
+        rr_on = alive & (bounce > MIN_BOUNCES)
+        die = rr_on & (rr_u > p)
+        alive = alive & ~die
+        T = jnp.where((rr_on & alive)[..., None], T / p[..., None], T)
+
+        # one-sample MIS between light and BSDF sampling (camera.rs:198-211)
+        view = -d
+        b_dir, b_ok = bsdf_sample(shade, view, lobe_u, e1, e2, fresnel_u)
+        if has_lights:
+            l_dir = light_ops.sample_lights(sd, hit.point, time, light_pick, lu1, lu2)
+            use_light = mis_r < p_light
+            new_dir = jnp.where(use_light[..., None], l_dir, b_dir)
+            ok = use_light | b_ok
+        else:
+            new_dir = b_dir
+            ok = b_ok
+        alive = alive & ok
+
+        # mixture pdf + eval (camera.rs:212-216)
+        pdf_b = bsdf_pdf(shade, view, new_dir)
+        if has_lights:
+            pdf_l = light_ops.pdf_lights(sd, hit.point, new_dir, time)
+            pdf = p_bsdf * pdf_b + p_light * pdf_l
+        else:
+            pdf = p_bsdf * pdf_b
+        brdf = bsdf_eval(shade, view, new_dir)
+        atten = brdf / pdf[..., None]  # unguarded, like the reference (camera.rs:216)
+        T = jnp.where(alive[..., None], T * atten, T)
+
+        # offset next origin along the geometric normal (camera.rs:217-222)
+        eps = EPS * jnp.sign(jnp.sum(new_dir * hit.ng, axis=-1))
+        o_next = hit.point + eps[..., None] * hit.ng
+        d_next = la.normalize(new_dir, eps=1e-30)  # Ray::new normalizes (ray.rs:26)
+
+        return dict(
+            bounce=bounce + 1,
+            o=jnp.where(alive[..., None], o_next, o),
+            d=jnp.where(alive[..., None], d_next, d),
+            time=time,
+            throughput=T,
+            radiance=L,
+            alive=alive,
+        )
+
+    out = lax.while_loop(cond, body, state)
+    return out["radiance"]

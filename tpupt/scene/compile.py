@@ -1,0 +1,281 @@
+"""Scene compiler: builder records -> SceneData SoA arrays.
+
+This is the TPU replacement for the reference's runtime object graph: geometry is
+flattened (instances pre-baked by the builder), materials and textures are interned into
+integer-indexed tables, images are packed into one flat atlas, and light geometry is
+appended *after* object geometry so closest-hit ties resolve to objects exactly like
+``World::intersect_all`` (world.rs:47-62).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import builder as B
+from . import data as D
+
+
+def _intern_texture(tex, tables) -> int:
+    key = id(tex)
+    if key in tables["tex_ids"]:
+        return tables["tex_ids"][key]
+
+    if isinstance(tex, B.SolidTexture):
+        row = dict(type=D.TEX_SOLID, rgb=tex.rgb, inv_scale=0.0, child=(-1, -1), img=(0, 0, 0))
+    elif isinstance(tex, B.CheckerTexture):
+        c1 = _intern_texture(tex.tex1, tables)
+        c2 = _intern_texture(tex.tex2, tables)
+        row = dict(
+            type=D.TEX_CHECKER,
+            rgb=(0.0, 0.0, 0.0),
+            inv_scale=1.0 / tex.scale,  # texture.rs:36
+            child=(c1, c2),
+            img=(0, 0, 0),
+        )
+    elif isinstance(tex, B.ImageTexture):
+        from ..io.image import load_image_f32, load_image_rgb8
+
+        img = (load_image_f32 if tex.hdr else load_image_rgb8)(tex.path)
+        h, w = img.shape[:2]
+        offset = sum(len(a) for a in tables["atlas"])
+        tables["atlas"].append(img.reshape(-1, 3).astype(np.float32))
+        row = dict(
+            type=D.TEX_IMAGE, rgb=(0.0, 0.0, 0.0), inv_scale=0.0, child=(-1, -1), img=(offset, w, h)
+        )
+    else:
+        raise TypeError(f"unknown texture {tex!r}")
+
+    idx = len(tables["tex_rows"])
+    tables["tex_rows"].append(row)
+    tables["tex_ids"][key] = idx
+    return idx
+
+
+def _intern_material(mat, tables) -> int:
+    key = id(mat)
+    if key in tables["mat_ids"]:
+        return tables["mat_ids"][key]
+
+    params = np.zeros(D.N_PARAMS, dtype=np.float64)
+    tex = -1
+    rough_tex = -1
+    normal_tex = -1
+
+    if isinstance(mat, B.Diffuse):
+        mtype = D.MAT_DIFFUSE
+        tex = _intern_texture(mat.base_color, tables)
+        if mat.normal_map is not None:
+            normal_tex = _intern_texture(mat.normal_map, tables)
+    elif isinstance(mat, B.Metal):
+        mtype = D.MAT_METAL
+        tex = _intern_texture(mat.base_color, tables)
+        rough_tex = _intern_texture(mat.roughness, tables)
+    elif isinstance(mat, B.Glass):
+        mtype = D.MAT_GLASS
+        tex = _intern_texture(mat.base_color, tables)
+        rough_tex = _intern_texture(mat.roughness, tables)
+        params[D.P_IOR] = mat.ior
+    elif isinstance(mat, B.Principled):
+        mtype = D.MAT_PRINCIPLED
+        tex = _intern_texture(mat.base_color, tables)
+        params[D.P_METALLIC] = mat.metallic
+        params[D.P_ROUGHNESS] = mat.roughness
+        params[D.P_SUBSURFACE] = mat.subsurface
+        params[D.P_SPECULAR] = mat.specular
+        params[D.P_SPECULAR_TINT] = mat.specular_tint
+        params[D.P_IOR] = mat.ior
+        params[D.P_SPEC_TRANS] = mat.spec_trans
+        params[D.P_SHEEN] = mat.sheen
+        params[D.P_SHEEN_TINT] = mat.sheen_tint
+        params[D.P_CLEARCOAT] = mat.clearcoat
+        params[D.P_CLEARCOAT_GLOSS] = mat.clearcoat_gloss
+    elif isinstance(mat, B.Light):
+        mtype = D.MAT_LIGHT
+        tex = _intern_texture(mat.emission, tables)
+    else:
+        raise TypeError(f"unknown material {mat!r}")
+
+    idx = len(tables["mat_rows"])
+    tables["mat_rows"].append(
+        dict(type=mtype, tex=tex, rough_tex=rough_tex, normal_tex=normal_tex, params=params)
+    )
+    tables["mat_ids"][key] = idx
+    return idx
+
+
+def _emit_geometry(rec, tables, is_light: bool):
+    mid = _intern_material(rec.material, tables)
+    if isinstance(rec, B.SphereRec):
+        idx = len(tables["sph"])
+        tables["sph"].append((rec.center1, rec.center2, rec.radius, mid))
+        if is_light:
+            tables["lights"].append((D.GEOM_SPHERE, idx))
+    elif isinstance(rec, B.QuadRec):
+        idx = len(tables["quad"])
+        tables["quad"].append((rec.q, rec.u, rec.v, mid))
+        if is_light:
+            tables["lights"].append((D.GEOM_QUAD, idx))
+    elif isinstance(rec, B.MeshRec):
+        pos, nrm, uvs, ind = rec.positions, rec.normals, rec.uvs, rec.indices
+        for f in ind:
+            i0, i1, i2 = int(f[0]), int(f[1]), int(f[2])
+            idx = len(tables["tri"])
+            v0, v1, v2 = pos[i0], pos[i1], pos[i2]
+            if nrm is not None:
+                n = (nrm[i0], nrm[i1], nrm[i2])
+            else:
+                # face normal (mesh.rs:88): normalize(e1 x e2), same for all hits
+                fn = np.cross(v1 - v0, v2 - v0)
+                ln = np.linalg.norm(fn)
+                fn = fn / ln if ln > 0 else np.array([0.0, 0.0, 1.0])
+                n = (fn, fn, fn)
+            if uvs is not None:
+                uv = (uvs[i0], uvs[i1], uvs[i2])
+                has_uv = True
+            else:
+                uv = (np.zeros(2),) * 3
+                has_uv = False
+            tables["tri"].append((v0, v1, v2, n, uv, has_uv, mid))
+            if is_light:
+                tables["lights"].append((D.GEOM_TRI, idx))
+    else:
+        raise TypeError(f"unknown geometry {rec!r}")
+
+
+class CompiledScene:
+    """SceneData + static (trace-time-constant) facts about the scene."""
+
+    def __init__(self, data: D.SceneData, has_lights: bool):
+        self.data = data
+        self.has_lights = has_lights  # p_light = 0.5 iff lights non-empty (camera.rs:199)
+
+
+def compile_scene(scene: "B.Scene") -> CompiledScene:
+    import jax.numpy as jnp
+
+    tables = dict(
+        sph=[], quad=[], tri=[], lights=[], mat_rows=[], mat_ids={}, tex_rows=[], tex_ids={}, atlas=[]
+    )
+
+    # environment must be interned before padding defaults
+    if isinstance(scene.environment, B.ImageTexture):
+        env_tex_id = _intern_texture(scene.environment, tables)
+        env_color = np.zeros(3, dtype=np.float32)
+    else:
+        env_tex_id = -1
+        env_color = np.asarray(scene.environment, dtype=np.float32)
+
+    # objects first, then lights: ties go to objects (world.rs:56-60 uses strict <)
+    for rec in scene.objects:
+        _emit_geometry(rec, tables, is_light=False)
+    for rec in scene.lights:
+        _emit_geometry(rec, tables, is_light=True)
+
+    f32 = np.float32
+
+    # ---- spheres (pad: negative radius never hits, sphere.rs:69-78) ----
+    sph = tables["sph"] or [(np.zeros(3), np.zeros(3), -1.0, 0)]
+    sph_c1 = np.stack([s[0] for s in sph]).astype(f32)
+    sph_c2 = np.stack([s[1] for s in sph]).astype(f32)
+    sph_r = np.array([s[2] for s in sph], dtype=f32)
+    sph_mat = np.array([s[3] for s in sph], dtype=np.int32)
+
+    # ---- quads (pad: zero u,v gives zero normal -> |nd| < eps reject, quad.rs:44) ----
+    quad = tables["quad"] or [(np.zeros(3), np.zeros(3), np.zeros(3), 0)]
+    quad_q = np.stack([q[0] for q in quad]).astype(np.float64)
+    quad_u = np.stack([q[1] for q in quad]).astype(np.float64)
+    quad_v = np.stack([q[2] for q in quad]).astype(np.float64)
+    quad_mat = np.array([q[3] for q in quad], dtype=np.int32)
+    n = np.cross(quad_u, quad_v)
+    n_len2 = np.maximum((n * n).sum(-1, keepdims=True), 1e-300)
+    normal = n / np.sqrt(n_len2)
+    quad_w = n / n_len2  # quad.rs:25
+    quad_d = (normal * quad_q).sum(-1)  # quad.rs:24
+
+    # ---- triangles (pad: zero edges -> |a| < 1e-8 parallel reject, mesh.rs:60) ----
+    tri = tables["tri"] or [
+        (np.zeros(3), np.zeros(3), np.zeros(3), (np.zeros(3),) * 3, (np.zeros(2),) * 3, False, 0)
+    ]
+    tri_v0 = np.stack([t[0] for t in tri]).astype(f32)
+    tri_e1 = np.stack([t[1] - t[0] for t in tri]).astype(f32)
+    tri_e2 = np.stack([t[2] - t[0] for t in tri]).astype(f32)
+    tri_n0 = np.stack([t[3][0] for t in tri]).astype(f32)
+    tri_n1 = np.stack([t[3][1] for t in tri]).astype(f32)
+    tri_n2 = np.stack([t[3][2] for t in tri]).astype(f32)
+    tri_uv0 = np.stack([t[4][0] for t in tri]).astype(f32)
+    tri_uv1 = np.stack([t[4][1] for t in tri]).astype(f32)
+    tri_uv2 = np.stack([t[4][2] for t in tri]).astype(f32)
+    tri_has_uv = np.array([t[5] for t in tri], dtype=bool)
+    tri_mat = np.array([t[6] for t in tri], dtype=np.int32)
+
+    # ---- lights (pad row never selected: integrator masks on n_lights) ----
+    lights = tables["lights"] or [(D.GEOM_SPHERE, 0)]
+    light_kind = np.array([l[0] for l in lights], dtype=np.int32)
+    light_idx = np.array([l[1] for l in lights], dtype=np.int32)
+    has_lights = len(tables["lights"]) > 0
+
+    # ---- materials ----
+    mats = tables["mat_rows"] or [
+        dict(type=D.MAT_DIFFUSE, tex=0, rough_tex=-1, normal_tex=-1, params=np.zeros(D.N_PARAMS))
+    ]
+    mat_type = np.array([m["type"] for m in mats], dtype=np.int32)
+    mat_tex = np.array([m["tex"] for m in mats], dtype=np.int32)
+    mat_rough_tex = np.array([m["rough_tex"] for m in mats], dtype=np.int32)
+    mat_normal_tex = np.array([m["normal_tex"] for m in mats], dtype=np.int32)
+    mat_params = np.stack([m["params"] for m in mats]).astype(f32)
+
+    # ---- textures ----
+    texs = tables["tex_rows"] or [
+        dict(type=D.TEX_SOLID, rgb=(0.0, 0.0, 0.0), inv_scale=0.0, child=(-1, -1), img=(0, 0, 0))
+    ]
+    tex_type = np.array([t["type"] for t in texs], dtype=np.int32)
+    tex_rgb = np.array([t["rgb"] for t in texs], dtype=f32)
+    tex_inv_scale = np.array([t["inv_scale"] for t in texs], dtype=f32)
+    tex_child = np.array([t["child"] for t in texs], dtype=np.int32)
+    tex_img = np.array([t["img"] for t in texs], dtype=np.int32)
+    atlas = (
+        np.concatenate(tables["atlas"], axis=0)
+        if tables["atlas"]
+        else np.zeros((1, 3), dtype=f32)
+    )
+
+    data = D.SceneData(
+        sph_c1=jnp.asarray(sph_c1),
+        sph_c2=jnp.asarray(sph_c2),
+        sph_r=jnp.asarray(sph_r),
+        sph_mat=jnp.asarray(sph_mat),
+        quad_q=jnp.asarray(quad_q.astype(f32)),
+        quad_u=jnp.asarray(quad_u.astype(f32)),
+        quad_v=jnp.asarray(quad_v.astype(f32)),
+        quad_w=jnp.asarray(quad_w.astype(f32)),
+        quad_n=jnp.asarray(normal.astype(f32)),
+        quad_d=jnp.asarray(quad_d.astype(f32)),
+        quad_mat=jnp.asarray(quad_mat),
+        tri_v0=jnp.asarray(tri_v0),
+        tri_e1=jnp.asarray(tri_e1),
+        tri_e2=jnp.asarray(tri_e2),
+        tri_n0=jnp.asarray(tri_n0),
+        tri_n1=jnp.asarray(tri_n1),
+        tri_n2=jnp.asarray(tri_n2),
+        tri_uv0=jnp.asarray(tri_uv0),
+        tri_uv1=jnp.asarray(tri_uv1),
+        tri_uv2=jnp.asarray(tri_uv2),
+        tri_has_uv=jnp.asarray(tri_has_uv),
+        tri_mat=jnp.asarray(tri_mat),
+        light_kind=jnp.asarray(light_kind),
+        light_idx=jnp.asarray(light_idx),
+        mat_type=jnp.asarray(mat_type),
+        mat_tex=jnp.asarray(mat_tex),
+        mat_rough_tex=jnp.asarray(mat_rough_tex),
+        mat_normal_tex=jnp.asarray(mat_normal_tex),
+        mat_params=jnp.asarray(mat_params),
+        tex_type=jnp.asarray(tex_type),
+        tex_rgb=jnp.asarray(tex_rgb),
+        tex_inv_scale=jnp.asarray(tex_inv_scale),
+        tex_child=jnp.asarray(tex_child),
+        tex_img=jnp.asarray(tex_img),
+        atlas=jnp.asarray(atlas),
+        env_color=jnp.asarray(env_color),
+        env_tex=jnp.asarray(env_tex_id, dtype=jnp.int32),
+    )
+    return CompiledScene(data, has_lights)

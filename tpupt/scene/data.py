@@ -1,0 +1,156 @@
+"""Scene intermediate representation: dense SoA arrays, compiled ahead of time.
+
+The reference walks heap graphs of ``Arc<dyn Hittable>`` / ``Arc<dyn Texture>`` objects
+(hittable/list.rs:10, bsdf/mod.rs:59) with virtual dispatch per ray. None of that maps to
+a TPU: XLA wants static shapes and integer indices. The compiler (scene/compile.py)
+flattens every scene into the tables below:
+
+- geometry: sphere / quad / triangle SoA tables (instance transforms and cuboids are
+  baked to world space at compile time — exact for every reference scene, since
+  instances only wrap cuboids and meshes whose UVs are transform-invariant,
+  instance.rs:34-54, cuboid.rs:11-58);
+- materials: a type tag + parameter rows (Disney 12-vector, principled.rs:23-42);
+- textures: a type tag + params + one flat f32 image atlas gathered by offset;
+- lights: index rows pointing back into the geometry tables (the reference keeps lights
+  in a *separate* HittableList that is intersected alongside objects, world.rs:47-62 —
+  here light geometry lives in the same tables, appended *after* object geometry so that
+  equal-distance ties resolve to objects exactly like ``light.dist < obj.dist``).
+
+Every array is padded to at least one row with a degenerate entry (negative-radius
+sphere, zero quad, zero-area triangle) so shapes are never empty under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+# material type tags
+MAT_DIFFUSE = 0  # bsdf/diffuse.rs (Lambertian, shading normal, optional normal map)
+MAT_METAL = 1  # bsdf/metal.rs (GGX VNDF + Schlick, shading normal)
+MAT_GLASS = 2  # bsdf/glass.rs (Walter rough dielectric, shading normal)
+MAT_PRINCIPLED = 3  # bsdf/principled.rs (4-lobe Disney, geometric normal)
+MAT_LIGHT = 4  # material.rs:150-191 (emissive; sample=None, pdf=1, eval=ONE)
+
+# texture type tags
+TEX_SOLID = 0
+TEX_CHECKER = 1
+TEX_IMAGE = 2
+
+# geometry kind tags (light table)
+GEOM_SPHERE = 0
+GEOM_QUAD = 1
+GEOM_TRI = 2
+
+# principled parameter vector layout (mat_params columns)
+P_METALLIC = 0
+P_ROUGHNESS = 1
+P_SUBSURFACE = 2
+P_SPECULAR = 3
+P_SPECULAR_TINT = 4
+P_IOR = 5
+P_SPEC_TRANS = 6
+P_SHEEN = 7
+P_SHEEN_TINT = 8
+P_CLEARCOAT = 9
+P_CLEARCOAT_GLOSS = 10
+N_PARAMS = 11
+
+
+def _dataclass_pytree(cls):
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_pytree_node(
+        cls,
+        lambda s: ([getattr(s, n) for n in fields], None),
+        lambda _, xs: cls(**dict(zip(fields, xs))),
+    )
+    return cls
+
+
+@_dataclass_pytree
+class SceneData:
+    # spheres (hittable/sphere.rs) — moving spheres lerp c1 -> c2 by ray time
+    sph_c1: jnp.ndarray  # [S,3]
+    sph_c2: jnp.ndarray  # [S,3]
+    sph_r: jnp.ndarray  # [S]
+    sph_mat: jnp.ndarray  # [S] int32
+
+    # quads (hittable/quad.rs) — w/normal/d derived at compile time
+    quad_q: jnp.ndarray  # [Q,3]
+    quad_u: jnp.ndarray  # [Q,3]
+    quad_v: jnp.ndarray  # [Q,3]
+    quad_w: jnp.ndarray  # [Q,3]   n / |n|^2
+    quad_n: jnp.ndarray  # [Q,3]   unit normal
+    quad_d: jnp.ndarray  # [Q]     plane offset
+    quad_mat: jnp.ndarray  # [Q] int32
+
+    # triangles (hittable/mesh.rs) — instance transforms baked in
+    tri_v0: jnp.ndarray  # [T,3]
+    tri_e1: jnp.ndarray  # [T,3]  v1 - v0
+    tri_e2: jnp.ndarray  # [T,3]  v2 - v0
+    tri_n0: jnp.ndarray  # [T,3]  vertex normals (face normal replicated if absent)
+    tri_n1: jnp.ndarray  # [T,3]
+    tri_n2: jnp.ndarray  # [T,3]
+    tri_uv0: jnp.ndarray  # [T,2]
+    tri_uv1: jnp.ndarray  # [T,2]
+    tri_uv2: jnp.ndarray  # [T,2]
+    tri_has_uv: jnp.ndarray  # [T] bool — false => barycentric (u,v) like mesh.rs:100
+    tri_mat: jnp.ndarray  # [T] int32
+
+    # lights: rows referencing geometry (world.rs lights list)
+    light_kind: jnp.ndarray  # [L] int32 GEOM_*
+    light_idx: jnp.ndarray  # [L] int32 index into that geometry table
+
+    # materials
+    mat_type: jnp.ndarray  # [M] int32 MAT_*
+    mat_tex: jnp.ndarray  # [M] int32 base-color texture id
+    mat_rough_tex: jnp.ndarray  # [M] int32 roughness texture id (metal/glass)
+    mat_normal_tex: jnp.ndarray  # [M] int32 normal-map texture id, -1 = none
+    mat_params: jnp.ndarray  # [M,N_PARAMS] float32 (Disney params; ior reused by glass)
+    # emission is `mat_tex` evaluated as a color texture when mat_type == MAT_LIGHT
+    # (DiffuseLight::emitted = texture value, material.rs:184-186)
+
+    # textures
+    tex_type: jnp.ndarray  # [X] int32 TEX_*
+    tex_rgb: jnp.ndarray  # [X,3] solid value (scalar textures use .x)
+    tex_inv_scale: jnp.ndarray  # [X] checker inv_scale (texture.rs:36)
+    tex_child: jnp.ndarray  # [X,2] int32 checker children
+    tex_img: jnp.ndarray  # [X,3] int32 (atlas offset, width, height)
+    atlas: jnp.ndarray  # [P,3] float32 flattened image pixels (rgb8/255, texture.rs:63-68)
+
+    # environment (camera.rs:16-19,140-151)
+    env_color: jnp.ndarray  # [3]
+    env_tex: jnp.ndarray  # [] int32 texture id, -1 = constant color
+
+    @property
+    def n_spheres(self):
+        return self.sph_r.shape[0]
+
+    @property
+    def n_quads(self):
+        return self.quad_d.shape[0]
+
+    @property
+    def n_tris(self):
+        return self.tri_v0.shape[0]
+
+    @property
+    def n_lights(self):
+        return self.light_kind.shape[0]
+
+
+@_dataclass_pytree
+class CameraData:
+    """Derived camera basis (Camera::init, camera.rs:51-77), precomputed host-side."""
+
+    center: jnp.ndarray  # [3]
+    pixel00: jnp.ndarray  # [3]
+    pixel_du: jnp.ndarray  # [3]
+    pixel_dv: jnp.ndarray  # [3]
+    right: jnp.ndarray  # [3]
+    up: jnp.ndarray  # [3]
+    defocus_radius: jnp.ndarray  # [] tan(defocus_angle/2) * focal_length
+    blur_strength: jnp.ndarray  # []
