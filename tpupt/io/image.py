@@ -19,19 +19,20 @@ def _read_radiance_hdr(path: str) -> np.ndarray:
 
 
 def load_image_rgb8(path: str) -> np.ndarray:
-    """Load any supported image as float32 [H,W,3] in [0,1], matching Rgb8 quantization.
+    """Load any supported image as uint8 [H,W,3], matching Rgb8 quantization.
 
-    Matches the `image` crate pipeline: decode -> to_rgb8 -> /255 (texture.rs:63-68,
-    84-90). For float sources (.hdr) the crate clamps to [0,1] and scales by 255.
+    Matches the `image` crate pipeline: decode -> to_rgb8 (texture.rs:63-68); the
+    /255 happens at lookup time (texture.rs:84-90), exactly like the reference.
+    For float sources (.hdr) the crate clamps to [0,1] and scales by 255.
     """
     if path.lower().endswith(".hdr"):
         data = _read_radiance_hdr(path)
         q = np.clip(data, 0.0, 1.0) * 255.0 + 0.5
-        return np.floor(q).clip(0, 255).astype(np.float32) / 255.0
+        return np.floor(q).clip(0, 255).astype(np.uint8)
     from PIL import Image
 
     img = Image.open(path).convert("RGB")
-    return np.asarray(img, dtype=np.float32) / 255.0
+    return np.asarray(img, dtype=np.uint8)
 
 
 def load_image_f32(path: str) -> np.ndarray:

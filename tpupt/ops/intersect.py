@@ -73,7 +73,11 @@ def sphere_ts(o, d, time, c1, c2, r, tmin, tmax):
     d2 = l2 - s * s
     q = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
     t = jnp.where(l2 > r2, s - q, s + q)
-    miss = ((s < 0.0) & (l2 > r2)) | (d2 > r2) | (t <= tmin) | (t >= tmax)
+    # r < 0 is the compiler's pad sentinel (real spheres clamp radius to >= 0,
+    # sphere.rs:26); it must never hit
+    miss = (
+        ((s < 0.0) & (l2 > r2)) | (d2 > r2) | (t <= tmin) | (t >= tmax) | (r[None, :] < 0.0)
+    )
     return jnp.where(miss, BIG, t)
 
 

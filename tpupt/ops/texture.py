@@ -24,7 +24,8 @@ def _image_lookup(sd, tid, u, v):
     i = jnp.minimum(jnp.floor(uu * w.astype(jnp.float32)).astype(jnp.int32), w - 1)
     j = jnp.minimum(jnp.floor(vv * h.astype(jnp.float32)).astype(jnp.int32), h - 1)
     idx = offset + j * w + i
-    return sd.atlas[idx]
+    # atlas stores Rgb8; scale at lookup like the reference (texture.rs:84-90)
+    return sd.atlas[idx].astype(jnp.float32) * jnp.float32(1.0 / 255.0)
 
 
 def eval_texture(sd: "D.SceneData", tid, u, v, point):

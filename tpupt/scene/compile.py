@@ -35,10 +35,14 @@ def _intern_texture(tex, tables) -> int:
     elif isinstance(tex, B.ImageTexture):
         from ..io.image import load_image_f32, load_image_rgb8
 
-        img = (load_image_f32 if tex.hdr else load_image_rgb8)(tex.path)
+        if tex.hdr:
+            # documented upgrade path: keep HDR f32 (scaled into the u8 atlas domain
+            # is lossy, so full-precision HDR lands in a future float atlas)
+            raise NotImplementedError("hdr=True float atlas lands with envmap importance sampling")
+        img = load_image_rgb8(tex.path)
         h, w = img.shape[:2]
         offset = sum(len(a) for a in tables["atlas"])
-        tables["atlas"].append(img.reshape(-1, 3).astype(np.float32))
+        tables["atlas"].append(img.reshape(-1, 3))
         row = dict(
             type=D.TEX_IMAGE, rgb=(0.0, 0.0, 0.0), inv_scale=0.0, child=(-1, -1), img=(offset, w, h)
         )
@@ -236,7 +240,7 @@ def compile_scene(scene: "B.Scene") -> CompiledScene:
     atlas = (
         np.concatenate(tables["atlas"], axis=0)
         if tables["atlas"]
-        else np.zeros((1, 3), dtype=f32)
+        else np.zeros((1, 3), dtype=np.uint8)
     )
 
     data = D.SceneData(

@@ -119,7 +119,7 @@ class SceneData:
     tex_inv_scale: jnp.ndarray  # [X] checker inv_scale (texture.rs:36)
     tex_child: jnp.ndarray  # [X,2] int32 checker children
     tex_img: jnp.ndarray  # [X,3] int32 (atlas offset, width, height)
-    atlas: jnp.ndarray  # [P,3] float32 flattened image pixels (rgb8/255, texture.rs:63-68)
+    atlas: jnp.ndarray  # [P,3] uint8 flattened Rgb8 pixels (texture.rs:63-68)
 
     # environment (camera.rs:16-19,140-151)
     env_color: jnp.ndarray  # [3]
