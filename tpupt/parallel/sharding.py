@@ -1,0 +1,99 @@
+"""SPMD scaling over a jax.sharding.Mesh.
+
+The reference's only parallelism is rayon work-stealing over pixels on one CPU
+(camera.rs:102). The TPU-native design (SURVEY.md section 2.4): shard the *sample* axis
+of the ray wavefront over a 1-D device mesh — every device holds a full scene + camera
+replica (forward pass needs zero communication), traces its own sample slice for the
+same pixel block, and the film is reduced with a `psum` over the mesh (the same
+collective that will carry material/texture gradients in the differentiable pass).
+
+This module is exercised two ways:
+- tests/test_sharding.py runs it on an 8-device virtual CPU mesh
+  (xla_force_host_platform_device_count);
+- __graft_entry__.dryrun_multichip jits the full sharded step for N devices.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..render.integrator import trace_radiance
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(devs, ("samples",))
+
+
+def sharded_sample_step(mesh: Mesh, max_depth: int, has_lights: bool, width: int):
+    """Build a jitted SPMD step: mesh-size * k samples of a pixel block -> film sums.
+
+    Layout: pixel_ids [pb] and the scene replicated on every device (P() specs);
+    each device traces its own k samples with sample ids offset by its mesh position;
+    the film sum is all-reduced over the mesh with psum (rides ICI on real hardware).
+    Returns a builder keyed by the static per-device sample count.
+    """
+
+    def build(k_per_device: int):
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+        def sharded(sd, cam, pixel_ids, rows, cols, sample0, seed):
+            ax = jax.lax.axis_index("samples")
+            pb = pixel_ids.shape[0]
+            pix = jnp.tile(pixel_ids, k_per_device)
+            local_samples = sample0 + ax * k_per_device + jnp.repeat(
+                jnp.arange(k_per_device, dtype=jnp.int32), pb
+            )
+            rr = jnp.tile(rows, k_per_device)
+            cc = jnp.tile(cols, k_per_device)
+            radiance, rays = trace_radiance(
+                sd, cam, pix, rr, cc, local_samples, seed, max_depth, has_lights
+            )
+            film = radiance.reshape(k_per_device, pb, 3).sum(axis=0)
+            # all-reduce the film over the mesh: every device ends with the full sum
+            film = jax.lax.psum(film, "samples")
+            rays = jax.lax.psum(rays.astype(jnp.float32), "samples")
+            return film, rays
+
+        return jax.jit(sharded)
+
+    return build
+
+
+def render_block_sharded(
+    compiled, camera, pixel_ids, rows, cols, spp: int, seed: int = 0, mesh: Mesh | None = None
+):
+    """Render one pixel block with the sample axis sharded over the mesh.
+
+    spp must be a multiple of the mesh size. Returns (film_sum [pb,3], rays).
+    """
+    mesh = mesh or make_mesh()
+    n = mesh.devices.size
+    assert spp % n == 0, f"spp {spp} must divide over {n} devices"
+    k = spp // n
+    cam = camera.init()
+    step = sharded_sample_step(
+        mesh, camera.max_depth, compiled.has_lights, camera.image_width
+    )(k)
+    film, rays = step(
+        compiled.data,
+        cam,
+        jnp.asarray(pixel_ids, jnp.int32),
+        jnp.asarray(rows, jnp.int32),
+        jnp.asarray(cols, jnp.int32),
+        jnp.int32(0),
+        jnp.uint32(seed),
+    )
+    return film, rays

@@ -43,9 +43,10 @@ MIN_BOUNCES = 5  # camera.rs:172
 
 
 def trace_radiance(sd, cam, pixel_ids, rows, cols, sample_ids, seed, max_depth, has_lights):
-    """Trace one path per lane; returns radiance [B,3].
+    """Trace one path per lane; returns (radiance [B,3], rays_traced scalar uint32).
 
-    max_depth and has_lights must be static (Python) values.
+    rays_traced counts scene intersections actually performed (the "rays/s" unit of
+    BASELINE.json). max_depth and has_lights must be static (Python) values.
     """
     from .camera import generate_rays
 
@@ -62,6 +63,7 @@ def trace_radiance(sd, cam, pixel_ids, rows, cols, sample_ids, seed, max_depth, 
         throughput=jnp.ones((b, 3), jnp.float32),
         radiance=jnp.zeros((b, 3), jnp.float32),
         alive=jnp.ones((b,), bool),
+        rays=jnp.uint32(0),
     )
 
     def cond(s):
@@ -71,6 +73,7 @@ def trace_radiance(sd, cam, pixel_ids, rows, cols, sample_ids, seed, max_depth, 
         bounce = s["bounce"]
         o, d, time = s["o"], s["d"], s["time"]
         T, L, alive = s["throughput"], s["radiance"], s["alive"]
+        rays = s["rays"] + jnp.sum(alive).astype(jnp.uint32)
 
         hit = closest_hit(sd, o, d, time, T_MIN, T_MAX)
 
@@ -136,7 +139,149 @@ def trace_radiance(sd, cam, pixel_ids, rows, cols, sample_ids, seed, max_depth, 
             throughput=T,
             radiance=L,
             alive=alive,
+            rays=rays,
         )
 
     out = lax.while_loop(cond, body, state)
-    return out["radiance"]
+    return out["radiance"], out["rays"]
+
+
+def trace_film_streamed(
+    sd, cam, pixel_ids, rows, cols, sample0, spp_limit, seed, k, max_depth, has_lights
+):
+    """Path-regeneration wavefront: each lane streams up to k samples of its pixel.
+
+    The reference estimator is per-sample identical to trace_radiance — every
+    (pixel, sample) path consumes the same counter-based RNG stream and follows
+    camera.rs:170-228 exactly. What changes is scheduling: instead of launching k
+    masked 50-iteration waves (lanes idle once their path dies — by bounce 10 of a
+    Cornell wave ~80% of lanes are dead weight), a lane that finishes sample s
+    immediately regenerates the camera ray for sample s+1. Lane utilization stays
+    near 100% and the wavefront runs ~k*E[path length] iterations instead of k*50.
+
+    This is the TPU answer to wavefront compaction: no queue scatter/gather —
+    lanes are pixel-pinned so the per-lane film sum needs no cross-lane reduction.
+
+    Returns (film_sum [B,3], rays_traced scalar uint32).
+    """
+    from .camera import generate_rays
+
+    b = pixel_ids.shape[0]
+    p_light = jnp.float32(0.5 if has_lights else 0.0)
+    p_bsdf = jnp.float32(1.0) - p_light
+    zero3 = jnp.zeros((b, 3), jnp.float32)
+
+    state = dict(
+        o=zero3,
+        d=jnp.concatenate([jnp.zeros((b, 2), jnp.float32), jnp.ones((b, 1), jnp.float32)], -1),
+        time=jnp.zeros((b,), jnp.float32),
+        bounce=jnp.zeros((b,), jnp.int32),
+        sample=jnp.zeros((b,), jnp.int32),  # per-lane sample cursor (samples started)
+        cur_sample=jnp.zeros((b,), jnp.int32),  # sample id of the in-flight path
+        throughput=jnp.ones((b, 3), jnp.float32),
+        radiance=zero3,
+        film=zero3,
+        alive=jnp.zeros((b,), bool),
+        rays=jnp.uint32(0),
+    )
+
+    def cond(s):
+        more_work = (~s["alive"]) & (s["sample"] < k) & ((sample0 + s["sample"]) < spp_limit)
+        return jnp.any(s["alive"] | more_work)
+
+    def body(s):
+        o, d, time = s["o"], s["d"], s["time"]
+        T, L, film, alive = s["throughput"], s["radiance"], s["film"], s["alive"]
+        bounce, sample, cur_sample = s["bounce"], s["sample"], s["cur_sample"]
+
+        # ---- regenerate lanes whose path is finished and have samples left ----
+        need = (~alive) & (sample < k) & ((sample0 + sample) < spp_limit)
+        new_sample = sample0 + sample
+        o_new, d_new, t_new = generate_rays(cam, rows, cols, pixel_ids, new_sample, seed)
+        nm = need[..., None]
+        o = jnp.where(nm, o_new, o)
+        d = jnp.where(nm, d_new, d)
+        time = jnp.where(need, t_new, time)
+        T = jnp.where(nm, 1.0, T)
+        L = jnp.where(nm, 0.0, L)
+        bounce = jnp.where(need, 0, bounce)
+        cur_sample = jnp.where(need, new_sample, cur_sample)
+        sample = sample + need.astype(jnp.int32)
+        alive = alive | need
+
+        rays = s["rays"] + jnp.sum(alive).astype(jnp.uint32)
+
+        # ---- one bounce (identical estimator to trace_radiance) ----
+        hit = closest_hit(sd, o, d, time, T_MIN, T_MAX)
+
+        env = sample_environment(sd, d)
+        missed = alive & ~hit.valid
+        L = L + jnp.where(missed[..., None], T * env, 0.0)
+        alive_h = alive & hit.valid
+
+        shade = make_shade(sd, hit.mat_id, hit.u, hit.v, hit.point, hit.ng, hit.ns, hit.front)
+        L = L + jnp.where(alive_h[..., None], T * shade.emission, 0.0)
+
+        ctrl = rng.bounce_ctr(bounce)
+        rr_u, mis_r, light_pick, lobe_u = rng.uniform4(
+            seed, pixel_ids, cur_sample, ctrl + rng.SLOT_CTRL
+        )
+        e1, e2, fresnel_u, _ = rng.uniform4(seed, pixel_ids, cur_sample, ctrl + rng.SLOT_BSDF)
+        lu1, lu2, _, _ = rng.uniform4(seed, pixel_ids, cur_sample, ctrl + rng.SLOT_LIGHT)
+
+        p = jnp.clip(la.luminance(T), 0.01, 1.0)
+        rr_on = alive_h & (bounce > MIN_BOUNCES)
+        die = rr_on & (rr_u > p)
+        alive_h = alive_h & ~die
+        T = jnp.where((rr_on & alive_h)[..., None], T / p[..., None], T)
+
+        view = -d
+        b_dir, b_ok = bsdf_sample(shade, view, lobe_u, e1, e2, fresnel_u)
+        if has_lights:
+            l_dir = light_ops.sample_lights(sd, hit.point, time, light_pick, lu1, lu2)
+            use_light = mis_r < p_light
+            new_dir = jnp.where(use_light[..., None], l_dir, b_dir)
+            ok = use_light | b_ok
+        else:
+            new_dir = b_dir
+            ok = b_ok
+        alive_h = alive_h & ok
+
+        pdf_b = bsdf_pdf(shade, view, new_dir)
+        if has_lights:
+            pdf_l = light_ops.pdf_lights(sd, hit.point, new_dir, time)
+            pdf = p_bsdf * pdf_b + p_light * pdf_l
+        else:
+            pdf = p_bsdf * pdf_b
+        brdf = bsdf_eval(shade, view, new_dir)
+        atten = brdf / pdf[..., None]
+        T = jnp.where(alive_h[..., None], T * atten, T)
+
+        eps = EPS * jnp.sign(jnp.sum(new_dir * hit.ng, axis=-1))
+        o_next = hit.point + eps[..., None] * hit.ng
+        d_next = la.normalize(new_dir, eps=1e-30)
+
+        bounce = bounce + 1
+        # max_depth exit: the reference loop just stops after max_depth iterations
+        alive_h = alive_h & (bounce < max_depth)
+
+        # ---- flush finished paths into the per-lane film ----
+        died = alive & ~alive_h
+        film = film + jnp.where(died[..., None], L, 0.0)
+
+        return dict(
+            o=jnp.where(alive_h[..., None], o_next, o),
+            d=jnp.where(alive_h[..., None], d_next, d),
+            time=time,
+            bounce=bounce,
+            sample=sample,
+            cur_sample=cur_sample,
+            throughput=T,
+            radiance=L,
+            film=film,
+            alive=alive_h,
+            rays=rays,
+        )
+
+    out = lax.while_loop(cond, body, state)
+    return out["film"], out["rays"]

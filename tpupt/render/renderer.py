@@ -19,36 +19,38 @@ import numpy as np
 from ..scene.compile import CompiledScene
 from .camera import Camera
 from .film import tonemap_quantize
-from .integrator import trace_radiance
+from .integrator import trace_film_streamed
 
 
 @dataclasses.dataclass
 class RenderStats:
     wall_s: float = 0.0
     paths: int = 0
+    rays: int = 0  # actual scene intersections (includes every bounce)
     launches: int = 0
 
     @property
     def paths_per_s(self) -> float:
         return self.paths / self.wall_s if self.wall_s > 0 else 0.0
 
+    @property
+    def rays_per_s(self) -> float:
+        return self.rays / self.wall_s if self.wall_s > 0 else 0.0
+
 
 @partial(jax.jit, static_argnames=("k", "max_depth", "has_lights", "width"))
-def _chunk_radiance(sd, cam, pixel_ids, sample0, spp_limit, seed, *, k, max_depth, has_lights, width):
-    """Sum radiance of k samples for each pixel in `pixel_ids` -> [pb,3].
+def _chunk_film(sd, cam, pixel_ids, sample0, spp_limit, seed, *, k, max_depth, has_lights, width):
+    """Film sums of up to k samples per pixel in `pixel_ids` -> ([pb,3], rays).
 
-    Samples beyond spp_limit contribute zero (masked), so a fixed k never
-    over-counts on the final sample chunk.
+    Uses the path-regeneration wavefront (trace_film_streamed): one lane per pixel,
+    each streaming its k samples back-to-back. Samples at or beyond spp_limit are
+    never started, so a fixed k never over-counts on the final sample chunk.
     """
-    pb = pixel_ids.shape[0]
-    pix = jnp.tile(pixel_ids, k)  # [k*pb]
-    samp = sample0 + jnp.repeat(jnp.arange(k, dtype=jnp.int32), pb)
-    rows = pix // width
-    cols = pix % width
-    radiance = trace_radiance(sd, cam, pix, rows, cols, samp, seed, max_depth, has_lights)
-    valid = (samp < spp_limit)[..., None]
-    radiance = jnp.where(valid, radiance, 0.0)
-    return radiance.reshape(k, pb, 3).sum(axis=0)
+    rows = pixel_ids // width
+    cols = pixel_ids % width
+    return trace_film_streamed(
+        sd, cam, pixel_ids, rows, cols, sample0, spp_limit, seed, k, max_depth, has_lights
+    )
 
 
 def render_image(
@@ -56,9 +58,15 @@ def render_image(
     camera: Camera,
     seed: int = 0,
     rays_per_launch: int = 1 << 20,
+    samples_per_launch: int = 64,
     progress: bool = True,
 ):
-    """Render -> (uint8 image [H,W,3], float32 mean radiance [H,W,3], RenderStats)."""
+    """Render -> (uint8 image [H,W,3], float32 mean radiance [H,W,3], RenderStats).
+
+    rays_per_launch bounds the lane count (pixel block size) of a launch;
+    samples_per_launch bounds how many samples each lane streams per launch
+    (launch granularity for progress/checkpointing, not an estimator knob).
+    """
     sd = compiled.data
     cam = camera.init()
     w, h = camera.image_width, camera.image_height
@@ -66,7 +74,7 @@ def render_image(
     npix = w * h
 
     pb = min(npix, rays_per_launch)
-    k = max(1, rays_per_launch // pb)
+    k = min(spp, samples_per_launch)
     n_pixel_blocks = (npix + pb - 1) // pb
     n_sample_chunks = (spp + k - 1) // k
 
@@ -84,7 +92,7 @@ def render_image(
         ids_dev = jnp.asarray(ids)
         acc = None
         for schunk in range(n_sample_chunks):
-            out = _chunk_radiance(
+            out, rays = _chunk_film(
                 sd,
                 cam,
                 ids_dev,
@@ -99,6 +107,7 @@ def render_image(
             acc = out if acc is None else acc + out
             stats.launches += 1
             stats.paths += n_valid * min(k, spp - schunk * k)
+            stats.rays += int(rays)
         film[ids[:n_valid]] += np.asarray(acc)[:n_valid].astype(np.float64)
         if progress:
             print(f"  pixel block {pblk + 1}/{n_pixel_blocks} done", flush=True)
