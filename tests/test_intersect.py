@@ -169,7 +169,7 @@ def test_baked_instance_matches_reference_transform():
     tr = Transform((0.0, 1.0, 0.0), 0.5, (1.0, 0.0, 2.0))
     s.add_cuboid((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), Diffuse((1, 1, 1)), transform=tr)
     sd = _compile(s)
-    assert sd.quad_q.shape[0] == 6
+    assert sd.quad_q.shape[0] == 8  # 6 faces padded to the sweep block multiple
     # a point at local cuboid corner (0,0,1) -> rotate 0.5 about y then translate
     c, si = np.cos(0.5), np.sin(0.5)
     expect = np.asarray([si * 1.0 + 1.0, 0.0, c * 1.0 + 2.0])

@@ -123,3 +123,114 @@ def to_world(normal, v_local):
     """Shading-local -> world (sampling.rs:13-16): rotate by the conjugate."""
     qx, qy, qz, qw = _quat_to_z(normal)
     return _quat_rotate(-qx, -qy, -qz, qw, v_local)
+
+
+# ---------------------------------------------------------------------------
+# Component (SoA) forms: 3-tuples of [B] arrays. These are the TPU-fast paths —
+# intermediates stay [B]-shaped so the batch rides the full 128-lane axis
+# (a [B,3] array pads its minor dim 3 up to 128 lanes and wastes 97% of them).
+# ---------------------------------------------------------------------------
+
+
+def unpack3(v):
+    """[B,3] -> ( [B], [B], [B] )."""
+    return v[..., 0], v[..., 1], v[..., 2]
+
+
+def pack3(t):
+    return jnp.stack(t, axis=-1)
+
+
+def dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def cross3(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def add3(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def sub3(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def scale3(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def neg3(a):
+    return (-a[0], -a[1], -a[2])
+
+
+def where3(m, a, b):
+    return (
+        jnp.where(m, a[0], b[0]),
+        jnp.where(m, a[1], b[1]),
+        jnp.where(m, a[2], b[2]),
+    )
+
+
+def normalize3(a, eps=0.0):
+    n2 = dot3(a, a)
+    if eps:
+        n2 = jnp.maximum(n2, eps)
+    inv = 1.0 / jnp.sqrt(n2)
+    return scale3(a, inv)
+
+
+def reflect3(i, n):
+    """glam reflect: i - 2*dot(i,n)*n."""
+    k = 2.0 * dot3(i, n)
+    return (i[0] - k * n[0], i[1] - k * n[1], i[2] - k * n[2])
+
+
+def refract3(i, n, eta):
+    """glam/GLSL refract; 0 on TIR. i normalized, eta per-lane [B]."""
+    ni = dot3(n, i)
+    k = 1.0 - eta * eta * (1.0 - ni * ni)
+    coef = eta * ni + jnp.sqrt(jnp.maximum(k, 0.0))
+    ok = k >= 0.0
+    return (
+        jnp.where(ok, eta * i[0] - coef * n[0], 0.0),
+        jnp.where(ok, eta * i[1] - coef * n[1], 0.0),
+        jnp.where(ok, eta * i[2] - coef * n[2], 0.0),
+    )
+
+
+def _quat_to_z3(n):
+    x = n[1]
+    y = -n[0]
+    w = 1.0 + n[2]
+    norm = jnp.sqrt(x * x + y * y + w * w)
+    degenerate = n[2] < -0.99999
+    safe = jnp.maximum(norm, 1e-20)
+    qx = jnp.where(degenerate, 1.0, x / safe)
+    qy = jnp.where(degenerate, 0.0, y / safe)
+    qw = jnp.where(degenerate, 0.0, w / safe)
+    return qx, qy, qw  # qz is identically 0 in both branches
+
+
+def _quat_rotate3(qx, qy, qw, v):
+    """Rotate v by unit quaternion (qx, qy, 0, qw): v + 2 q x (q x v + w v)."""
+    q = (qx, qy, jnp.zeros_like(qx))
+    t = add3(cross3(q, v), scale3(v, qw))
+    return add3(v, scale3(cross3(q, t), 2.0))
+
+
+def to_local3(n, v):
+    """World -> local (normal = +z), component form of to_local."""
+    qx, qy, qw = _quat_to_z3(n)
+    return _quat_rotate3(qx, qy, qw, v)
+
+
+def to_world3(n, v):
+    """Local -> world, component form of to_world."""
+    qx, qy, qw = _quat_to_z3(n)
+    return _quat_rotate3(-qx, -qy, qw, v)

@@ -1,19 +1,22 @@
 """Material shading: sample / pdf / eval for all five material families.
 
 TPU re-design of the reference's ``BxDFMaterial`` trait objects (bsdf/mod.rs:21-57):
-instead of virtual dispatch per ray, every lane evaluates all families branchlessly and
-the result is selected by the material type tag — the standard wide-SIMD shading model.
-Normal conventions follow the reference exactly:
+instead of virtual dispatch per ray, every lane evaluates the material families present
+in the scene branchlessly and the result is selected by the material type tag — the
+standard wide-SIMD shading model, with two TPU twists:
 
+- all math is component-form ([B] arrays per vector component, core/linalg.py SoA
+  notes) so intermediates ride the full 128-lane axis;
+- dispatch is *specialized per scene*: ``Shade.mat_types`` is a static tuple baked
+  into the jit cache key, so branches for absent families compile out entirely
+  (e.g. the balls scene never builds the Disney evaluation graph).
+
+Normal conventions follow the reference exactly:
 - Diffuse / Metal / Glass shade in the *shading* normal frame (possibly normal-mapped),
   diffuse.rs:51-65, metal.rs:39-80, glass.rs:66-163;
 - Principled shades in the *geometric* (front-face-flipped) normal frame — it ignores
   normal maps (principled.rs:103,108,122,146,284-285,323-324);
 - DiffuseLight: sample is invalid, pdf = 1, eval = (1,1,1) (material.rs:167-178).
-
-RNG slots consumed per bounce (see core/rng.py): SLOT_BSDF supplies (e1, e2, fresnel_u)
-for the microfacet sample and the reflect/refract coin; the lobe pick comes from
-SLOT_CTRL's fourth lane.
 """
 
 from __future__ import annotations
@@ -26,6 +29,7 @@ import jax.numpy as jnp
 from ..core import linalg as la
 from ..scene import data as D
 from . import sampling as S
+from .gather import take_rows
 from .texture import eval_scalar_texture, eval_texture
 
 PI = jnp.float32(jnp.pi)
@@ -44,27 +48,55 @@ class Shade:
     ns: jnp.ndarray  # [B,3] shading normal (normal-mapped for diffuse)
     front: jnp.ndarray  # [B] bool
     point: jnp.ndarray  # [B,3]
+    mat_types: tuple = ()  # static: families present (empty = assume all)
 
 
 jax.tree_util.register_pytree_node(
     Shade,
     lambda s: (
         (s.mtype, s.base_color, s.roughness, s.params, s.emission, s.ng, s.ns, s.front, s.point),
-        None,
+        s.mat_types,
     ),
-    lambda _, xs: Shade(*xs),
+    lambda aux, xs: Shade(*xs, mat_types=aux),
 )
+
+_ALL_TYPES = (D.MAT_DIFFUSE, D.MAT_METAL, D.MAT_GLASS, D.MAT_PRINCIPLED, D.MAT_LIGHT)
+
+
+def _types(sh: Shade):
+    return sh.mat_types if sh.mat_types else _ALL_TYPES
 
 
 def make_shade(sd: "D.SceneData", mat_id, u, v, point, ng, ns, front) -> Shade:
-    mtype = sd.mat_type[mat_id]
-    base_color = eval_texture(sd, sd.mat_tex[mat_id], u, v, point)
-    roughness = eval_scalar_texture(sd, sd.mat_rough_tex[mat_id], u, v, point)
-    params = sd.mat_params[mat_id]
-    is_light = mtype == D.MAT_LIGHT
-    # emission = the material texture evaluated as color (material.rs:184-186)
-    emission = jnp.where(is_light[..., None], base_color, 0.0)
-    return Shade(mtype, base_color, roughness, params, emission, ng, ns, front, point)
+    mat_types = sd.mat_types if sd.mat_types else _ALL_TYPES
+    # one fused row gather: [type, tex, rough_tex] + params
+    head = jnp.stack(
+        [sd.mat_type.astype(jnp.float32), sd.mat_tex.astype(jnp.float32),
+         sd.mat_rough_tex.astype(jnp.float32)],
+        axis=1,
+    )
+    rows = take_rows(jnp.concatenate([head, sd.mat_params], axis=1), mat_id)
+    mtype = rows[..., 0].astype(jnp.int32)
+    tex_id = rows[..., 1].astype(jnp.int32)
+    rough_tex = rows[..., 2].astype(jnp.int32)
+    params = rows[..., 3:]
+
+    base_color = eval_texture(sd, tex_id, u, v, point)
+    needs_rough = (D.MAT_METAL in mat_types) or (D.MAT_GLASS in mat_types)
+    roughness = (
+        eval_scalar_texture(sd, rough_tex, u, v, point)
+        if needs_rough
+        else jnp.zeros_like(u)
+    )
+    if D.MAT_LIGHT in mat_types:
+        is_light = mtype == D.MAT_LIGHT
+        # emission = the material texture evaluated as color (material.rs:184-186)
+        emission = jnp.where(is_light[..., None], base_color, 0.0)
+    else:
+        emission = jnp.zeros_like(base_color)
+    return Shade(
+        mtype, base_color, roughness, params, emission, ng, ns, front, point, mat_types
+    )
 
 
 def _etas(sh: Shade, ior):
@@ -76,18 +108,27 @@ def _etas(sh: Shade, ior):
 
 def _half_vector(v, l, eta_i, eta_o, reflect):
     """Half vector from reflect/refract branch (glass.rs:103-107, principled.rs:294-298)."""
-    h_refl = la.normalize(v + l, eps=1e-30) * jnp.sign(v[..., 2:3])
-    h_refr = -la.normalize(l * eta_o[..., None] + v * eta_i[..., None], eps=1e-30)
-    return jnp.where(reflect[..., None], h_refl, h_refr)
+    h_refl = la.scale3(la.normalize3(la.add3(v, l), eps=1e-30), jnp.sign(v[2]))
+    h_refr = la.neg3(
+        la.normalize3(
+            (
+                l[0] * eta_o + v[0] * eta_i,
+                l[1] * eta_o + v[1] * eta_i,
+                l[2] * eta_o + v[2] * eta_i,
+            ),
+            eps=1e-30,
+        )
+    )
+    return la.where3(reflect, h_refl, h_refr)
 
 
 def _vndf_pdf_h(v, h, roughness):
     """VNDF density over half-vectors: G1 |v.h| D / |v.z| (metal.rs:62, glass.rs:110)."""
     return (
         S.ggx_G1(v, roughness)
-        * jnp.abs(la.dot(v, h))
+        * jnp.abs(la.dot3(v, h))
         * S.ggx_D(h, roughness)
-        / jnp.maximum(jnp.abs(v[..., 2]), 1e-20)
+        / jnp.maximum(jnp.abs(v[2]), 1e-20)
     )
 
 
@@ -96,19 +137,19 @@ def _vndf_pdf_h(v, h, roughness):
 # ===========================================================================
 
 
-def _diffuse_sample(sh: Shade, e1, e2):
+def _diffuse_sample(ns, e1, e2):
     local = S.cosine_sample_hemisphere(e1, e2)
-    return la.to_world(sh.ns, local), jnp.ones(sh.front.shape, dtype=bool)
+    d = la.to_world3(ns, local)
+    return d, jnp.ones_like(e1, dtype=bool)
 
 
-def _diffuse_pdf(sh: Shade, l_world):
-    lz = la.dot(sh.ns, l_world)  # == to_local(ns, l).z
-    return jnp.abs(lz) / PI
+def _diffuse_pdf(ns, l):
+    return jnp.abs(la.dot3(ns, l)) / PI  # == |to_local(ns, l).z| / pi
 
 
-def _diffuse_eval(sh: Shade, l_world):
-    lz = la.dot(sh.ns, l_world)
-    return jnp.abs(lz)[..., None] * sh.base_color / PI
+def _diffuse_eval(base, ns, l):
+    lz = jnp.abs(la.dot3(ns, l)) / PI
+    return (lz * base[0], lz * base[1], lz * base[2])
 
 
 # ===========================================================================
@@ -116,34 +157,34 @@ def _diffuse_eval(sh: Shade, l_world):
 # ===========================================================================
 
 
-def _metal_sample(sh: Shade, v_world, e1, e2):
-    v = la.to_local(sh.ns, v_world)
-    h = S.ggx_sample_microfacet_normal(v, sh.roughness, e1, e2)
-    d_local = la.reflect(-v, h)
-    d_world = la.to_world(sh.ns, d_local)
-    valid = la.dot(d_world, sh.ns) > 0.0  # metal.rs:49-53
-    return d_world, valid
+def _metal_sample(ns, rough, v_world, e1, e2):
+    v = la.to_local3(ns, v_world)
+    h = S.ggx_sample_microfacet_normal(v, rough, e1, e2)
+    d_local = la.reflect3(la.neg3(v), h)
+    d = la.to_world3(ns, d_local)
+    valid = la.dot3(d, ns) > 0.0  # metal.rs:49-53
+    return d, valid
 
 
-def _metal_pdf(sh: Shade, v_world, l_world):
-    v = la.to_local(sh.ns, v_world)
-    l = la.to_local(sh.ns, l_world)
-    h = la.normalize(v + l, eps=1e-30)
-    jac = 1.0 / jnp.maximum(4.0 * jnp.abs(la.dot(l, h)), 1e-20)
-    return _vndf_pdf_h(v, h, sh.roughness) * jac
+def _metal_pdf(ns, rough, v_world, l_world):
+    v = la.to_local3(ns, v_world)
+    l = la.to_local3(ns, l_world)
+    h = la.normalize3(la.add3(v, l), eps=1e-30)
+    jac = 1.0 / jnp.maximum(4.0 * jnp.abs(la.dot3(l, h)), 1e-20)
+    return _vndf_pdf_h(v, h, rough) * jac
 
 
-def _metal_eval(sh: Shade, v_world, l_world):
-    v = la.to_local(sh.ns, v_world)
-    l = la.to_local(sh.ns, l_world)
-    h = la.normalize(v + l, eps=1e-30)
-    d = S.ggx_D(h, sh.roughness)
-    g = S.ggx_G(v, l, sh.roughness)
-    f = S.fresnel_schlick(sh.base_color, la.dot(l, h))
-    lz = jnp.abs(l[..., 2])
-    vz = jnp.abs(v[..., 2])
-    denom = jnp.maximum(4.0 * lz * vz, 1e-20)
-    return lz[..., None] * f * (g * d / denom)[..., None]
+def _metal_eval(base, ns, rough, v_world, l_world):
+    v = la.to_local3(ns, v_world)
+    l = la.to_local3(ns, l_world)
+    h = la.normalize3(la.add3(v, l), eps=1e-30)
+    d = S.ggx_D(h, rough)
+    g = S.ggx_G(v, l, rough)
+    f = S.fresnel_schlick3(base, la.dot3(l, h))
+    lz = jnp.abs(l[2])
+    vz = jnp.abs(v[2])
+    k = lz * (g * d / jnp.maximum(4.0 * lz * vz, 1e-20))
+    return (k * f[0], k * f[1], k * f[2])
 
 
 # ===========================================================================
@@ -151,51 +192,49 @@ def _metal_eval(sh: Shade, v_world, l_world):
 # ===========================================================================
 
 
-def _glass_sample(sh: Shade, v_world, e1, e2, fresnel_u):
+def _glass_sample(sh: Shade, ns, rough, v_world, e1, e2, fresnel_u):
     ior = sh.params[..., D.P_IOR]
-    v = la.to_local(sh.ns, v_world)
-    h = S.ggx_sample_microfacet_normal(v, sh.roughness, e1, e2)
+    v = la.to_local3(ns, v_world)
+    h = S.ggx_sample_microfacet_normal(v, rough, e1, e2)
     eta_i, eta_o = _etas(sh, ior)
-    f = S.fresnel_dielectric(v, h, eta_i, eta_o)
-    refl = la.reflect(-v, h)
-    refr = la.refract(-v, h, eta_i / eta_o)
-    # TIR fallback: refract returned 0 -> reflect (glass.rs:85-87)
-    tir = la.length_sq(refr) == 0.0
-    trans = jnp.where(tir[..., None], refl, refr)
-    d_local = jnp.where((fresnel_u < f)[..., None], refl, trans)
-    return la.to_world(sh.ns, d_local), jnp.ones(sh.front.shape, dtype=bool)
+    f = S.fresnel_dielectric3(v, h, eta_i, eta_o)
+    refl = la.reflect3(la.neg3(v), h)
+    refr = la.refract3(la.neg3(v), h, eta_i / eta_o)
+    tir = la.dot3(refr, refr) == 0.0  # refract returned 0 -> reflect (glass.rs:85-87)
+    trans = la.where3(tir, refl, refr)
+    d_local = la.where3(fresnel_u < f, refl, trans)
+    return la.to_world3(ns, d_local), jnp.ones_like(e1, dtype=bool)
 
 
-def _glass_pdf_eval(sh: Shade, v_world, l_world):
+def _glass_pdf_eval(sh: Shade, ns, rough, v_world, l_world):
     """pdf and eval share every term (glass.rs:92-163); compute once."""
     ior = sh.params[..., D.P_IOR]
-    v = la.to_local(sh.ns, v_world)
-    l = la.to_local(sh.ns, l_world)
-    reflect = l[..., 2] * v[..., 2] > 0.0
+    v = la.to_local3(ns, v_world)
+    l = la.to_local3(ns, l_world)
+    reflect = l[2] * v[2] > 0.0
     eta_i, eta_o = _etas(sh, ior)
     h = _half_vector(v, l, eta_i, eta_o, reflect)
 
-    f = S.fresnel_dielectric(v, h, eta_i, eta_o)
-    v_dot_h = la.dot(v, h)
-    l_dot_h = la.dot(l, h)
+    f = S.fresnel_dielectric3(v, h, eta_i, eta_o)
+    v_dot_h = la.dot3(v, h)
+    l_dot_h = la.dot3(l, h)
     refr_denom = (eta_i * v_dot_h + eta_o * l_dot_h) ** 2
 
-    pdf_h = _vndf_pdf_h(v, h, sh.roughness)
+    pdf_h = _vndf_pdf_h(v, h, rough)
     jac_refl = f / jnp.maximum(4.0 * jnp.abs(l_dot_h), 1e-20)
     jac_refr = (1.0 - f) * (eta_o * eta_o * jnp.abs(l_dot_h)) / jnp.maximum(refr_denom, 1e-20)
     pdf = pdf_h * jnp.where(reflect, jac_refl, jac_refr)
 
-    d = S.ggx_D(h, sh.roughness)
-    g = S.ggx_G(v, l, sh.roughness)
-    lz = jnp.abs(l[..., 2])
-    vz = jnp.abs(v[..., 2])
+    d = S.ggx_D(h, rough)
+    g = S.ggx_G(v, l, rough)
+    lz = jnp.abs(l[2])
+    vz = jnp.abs(v[2])
     fac_refl = f * g * d / jnp.maximum(4.0 * lz * vz, 1e-20)
-    term1 = jnp.abs((l_dot_h * v_dot_h) / jnp.maximum(jnp.abs(l[..., 2] * v[..., 2]), 1e-20))
+    term1 = jnp.abs((l_dot_h * v_dot_h) / jnp.maximum(jnp.abs(l[2] * v[2]), 1e-20))
     term2 = (eta_o * eta_o) / jnp.maximum(refr_denom, 1e-20)
     fac_refr = term1 * term2 * (1.0 - f) * g * d
-    factor = jnp.where(reflect, fac_refl, fac_refr)
-    ev = (factor * lz)[..., None] * jnp.ones_like(sh.base_color)
-    return pdf, ev
+    ev = jnp.where(reflect, fac_refl, fac_refr) * lz
+    return pdf, ev  # eval is achromatic: Vec3::splat (glass.rs:153,160)
 
 
 # ===========================================================================
@@ -224,70 +263,64 @@ def _principled_alpha_g(params):
     return (1.0 - cg) * 0.1 + cg * 0.001
 
 
-def _principled_sample(sh: Shade, v_world, lobe_u, e1, e2, fresnel_u):
+def _principled_sample(sh: Shade, n, v_world, lobe_u, e1, e2, fresnel_u):
     params = sh.params
     roughness = params[..., D.P_ROUGHNESS]
     ior = params[..., D.P_IOR]
     _, (p_d, p_s, p_g, _) = _principled_lobes(params)
-    n = sh.ng  # geometric normal throughout (principled.rs:103-155)
-    v = la.to_local(n, v_world)
+    v = la.to_local3(n, v_world)  # geometric normal throughout (principled.rs:103-155)
 
     # diffuse lobe
-    d_diff = la.to_world(n, S.cosine_sample_hemisphere(e1, e2))
+    d_diff = la.to_world3(n, S.cosine_sample_hemisphere(e1, e2))
 
     # specular lobe (GGX VNDF reflect)
     h_ggx = S.ggx_sample_microfacet_normal(v, roughness, e1, e2)
-    d_spec = la.to_world(n, la.reflect(-v, h_ggx))
-    spec_ok = la.dot(d_spec, n) > 0.0
+    d_spec = la.to_world3(n, la.reflect3(la.neg3(v), h_ggx))
+    spec_ok = la.dot3(d_spec, n) > 0.0
 
     # glass lobe (stochastic fresnel reflect/refract, shares h_ggx)
     eta_i, eta_o = _etas(sh, ior)
-    f = S.fresnel_dielectric(v, h_ggx, eta_i, eta_o)
-    refl = la.reflect(-v, h_ggx)
-    refr = la.refract(-v, h_ggx, eta_i / eta_o)
-    tir = la.length_sq(refr) == 0.0
-    trans = jnp.where(tir[..., None], refl, refr)
-    d_glass = la.to_world(n, jnp.where((fresnel_u < f)[..., None], refl, trans))
+    f = S.fresnel_dielectric3(v, h_ggx, eta_i, eta_o)
+    refl = la.reflect3(la.neg3(v), h_ggx)
+    refr = la.refract3(la.neg3(v), h_ggx, eta_i / eta_o)
+    tir = la.dot3(refr, refr) == 0.0
+    trans = la.where3(tir, refl, refr)
+    d_glass = la.to_world3(n, la.where3(fresnel_u < f, refl, trans))
 
     # clearcoat lobe (GTR1, fixed alpha 0.25, principled.rs:144-155)
     h_cc = S.gtr1_sample_microfacet_normal(jnp.full_like(roughness, 0.25), e1, e2)
-    d_cc = la.to_world(n, la.reflect(-v, h_cc))
-    cc_ok = la.dot(d_cc, n) > 0.0
+    d_cc = la.to_world3(n, la.reflect3(la.neg3(v), h_cc))
+    cc_ok = la.dot3(d_cc, n) > 0.0
 
     use_d = lobe_u < p_d
     use_s = ~use_d & (lobe_u < p_d + p_s)
     use_g = ~use_d & ~use_s & (lobe_u < p_d + p_s + p_g)
     use_c = ~use_d & ~use_s & ~use_g
 
-    direction = jnp.where(
-        use_d[..., None],
-        d_diff,
-        jnp.where(use_s[..., None], d_spec, jnp.where(use_g[..., None], d_glass, d_cc)),
-    )
+    direction = la.where3(use_d, d_diff, la.where3(use_s, d_spec, la.where3(use_g, d_glass, d_cc)))
     valid = use_d | (use_s & spec_ok) | use_g | (use_c & cc_ok)
     return direction, valid
 
 
-def _principled_pdf(sh: Shade, v_world, l_world):
+def _principled_pdf(sh: Shade, n, v_world, l_world):
     params = sh.params
     roughness = params[..., D.P_ROUGHNESS]
     ior = params[..., D.P_IOR]
     _, (p_d, p_s, p_g, p_c) = _principled_lobes(params)
-    n = sh.ng
-    v = la.to_local(n, v_world)
-    l = la.to_local(n, l_world)
-    reflect = l[..., 2] * v[..., 2] > 0.0
+    v = la.to_local3(n, v_world)
+    l = la.to_local3(n, l_world)
+    reflect = l[2] * v[2] > 0.0
     eta_i, eta_o = _etas(sh, ior)
     h = _half_vector(v, l, eta_i, eta_o, reflect)
 
-    l_dot_h = la.dot(l, h)
+    l_dot_h = la.dot3(l, h)
+    v_dot_h = la.dot3(v, h)
     jac_refl = 1.0 / jnp.maximum(4.0 * jnp.abs(l_dot_h), 1e-20)
 
-    pdf_diffuse = jnp.abs(l[..., 2]) / PI
+    pdf_diffuse = jnp.abs(l[2]) / PI
     pdf_spec = _vndf_pdf_h(v, h, roughness) * jac_refl
 
-    f = S.fresnel_dielectric(v, h, eta_i, eta_o)
-    v_dot_h = la.dot(v, h)
+    f = S.fresnel_dielectric3(v, h, eta_i, eta_o)
     refr_denom = (eta_i * v_dot_h + eta_o * l_dot_h) ** 2
     jac_glass = jnp.where(
         reflect,
@@ -297,11 +330,12 @@ def _principled_pdf(sh: Shade, v_world, l_world):
     pdf_glass = _vndf_pdf_h(v, h, roughness) * jac_glass
 
     # clearcoat: GTR1 D at |l.h|, G1 with 0.25 (principled.rs:187-192)
+    quarter = jnp.full_like(roughness, 0.25)
     pdf_cc_h = (
-        S.ggx_G1(v, jnp.full_like(roughness, 0.25))
+        S.ggx_G1(v, quarter)
         * jnp.abs(v_dot_h)
         * S.gtr1_D(jnp.abs(l_dot_h), _principled_alpha_g(params))
-        / jnp.maximum(jnp.abs(v[..., 2]), 1e-20)
+        / jnp.maximum(jnp.abs(v[2]), 1e-20)
     )
     pdf_cc = pdf_cc_h * jac_refl
 
@@ -313,21 +347,21 @@ def _principled_pdf(sh: Shade, v_world, l_world):
     return pdf
 
 
-def _principled_eval(sh: Shade, v_world, l_world):
+def _principled_eval(sh: Shade, n, v_world, l_world):
     params = sh.params
-    base_color = sh.base_color
+    base = la.unpack3(sh.base_color)
     roughness = params[..., D.P_ROUGHNESS]
     ior = params[..., D.P_IOR]
     (w_d, w_s, w_g, w_c), (p_d, p_s, p_g, p_c) = _principled_lobes(params)
-    n = sh.ng
-    v = la.to_local(n, v_world)
-    l = la.to_local(n, l_world)
-    reflect = l[..., 2] * v[..., 2] > 0.0
+    v = la.to_local3(n, v_world)
+    l = la.to_local3(n, l_world)
+    reflect = l[2] * v[2] > 0.0
     eta_i, eta_o = _etas(sh, ior)
     h = _half_vector(v, l, eta_i, eta_o, reflect)
-    l_dot_h = la.dot(l, h)
-    v_dot_h = la.dot(v, h)
-    lz, vz = l[..., 2], v[..., 2]
+    l_dot_h = la.dot3(l, h)
+    v_dot_h = la.dot3(v, h)
+    lz, vz = l[2], v[2]
+    lerp = lambda a, b, t: a + (b - a) * t  # noqa: E731
 
     # ---- diffuse + retro + subsurface + sheen (principled.rs:196-213,341-345) ----
     rr = 2.0 * roughness * l_dot_h * l_dot_h
@@ -336,70 +370,83 @@ def _principled_eval(sh: Shade, v_world, l_world):
     f_retro = rr * (fl + fv + fl * fv * (rr - 1.0))
     f_d = (1.0 - 0.5 * fl) * (1.0 - 0.5 * fv)
     fss90 = 0.5 * rr
-    lerp = lambda a, b, t: a + (b - a) * t  # noqa: E731
     f_ss = lerp(1.0, fss90, fl) * lerp(1.0, fss90, fv)
     ss = 1.25 * (f_ss * (1.0 / jnp.where(lz + vz != 0.0, lz + vz, 1e-20) - 0.5) + 0.5)
     subsurface = params[..., D.P_SUBSURFACE]
-    diffuse_term = base_color / PI * lerp(f_d + f_retro, ss, subsurface)[..., None]
-    c_tint = S.tint(base_color)
-    sheen_tint = params[..., D.P_SHEEN_TINT][..., None]
-    c_sheen = lerp(jnp.ones_like(c_tint), c_tint, sheen_tint)
-    sheen_term = (
-        params[..., D.P_SHEEN][..., None] * c_sheen * S.schlick_weight(jnp.abs(l_dot_h))[..., None]
+    k_diff = lerp(f_d + f_retro, ss, subsurface) / PI
+    c_tint = S.tint3(base)
+    sheen_tint = params[..., D.P_SHEEN_TINT]
+    sheen_w = params[..., D.P_SHEEN] * S.schlick_weight(jnp.abs(l_dot_h))
+    diffuse_rgb = tuple(
+        base[j] * k_diff + sheen_w * lerp(1.0, c_tint[j], sheen_tint) for j in range(3)
     )
-    brdf_diffuse = w_d[..., None] * (diffuse_term + sheen_term)
 
     # ---- specular with metallic-lerped fresnel (principled.rs:347-356) ----
-    metallic = params[..., D.P_METALLIC][..., None]
-    ks = lerp(jnp.ones_like(c_tint), c_tint, params[..., D.P_SPECULAR_TINT][..., None])
-    c0 = lerp(
-        params[..., D.P_SPECULAR][..., None] * S.r0_from_eta(eta_i / eta_o)[..., None] * ks,
-        base_color,
-        metallic,
+    metallic = params[..., D.P_METALLIC]
+    spec_tint = params[..., D.P_SPECULAR_TINT]
+    spec_amt = params[..., D.P_SPECULAR] * S.r0_from_eta(eta_i / eta_o)
+    c0 = tuple(
+        lerp(spec_amt * lerp(1.0, c_tint[j], spec_tint), base[j], metallic) for j in range(3)
     )
-    metal_f = S.fresnel_schlick(c0, l_dot_h)
-    diel_f = S.fresnel_dielectric(v, h, eta_i, eta_o)[..., None]
-    fresnel = lerp(diel_f, metal_f, metallic)
+    metal_f = S.fresnel_schlick3(c0, l_dot_h)
+    diel_f = S.fresnel_dielectric3(v, h, eta_i, eta_o)
+    fresnel = tuple(lerp(diel_f, metal_f[j], metallic) for j in range(3))
     d_ggx = S.ggx_D(h, roughness)
     g_ggx = S.ggx_G(v, l, roughness)
     denom4 = jnp.maximum(4.0 * jnp.abs(lz) * jnp.abs(vz), 1e-20)
-    brdf_spec = w_s[..., None] * fresnel * (g_ggx * d_ggx / denom4)[..., None]
+    k_spec = g_ggx * d_ggx / denom4
+    spec_rgb = tuple(fresnel[j] * k_spec for j in range(3))
 
-    # ---- glass (principled.rs:226-246) ----
-    f_diel = S.fresnel_dielectric(v, h, eta_i, eta_o)
+    # ---- glass (principled.rs:226-246), achromatic ----
     refr_denom = (eta_i * v_dot_h + eta_o * l_dot_h) ** 2
-    fac_refl = f_diel * g_ggx * d_ggx / denom4
+    fac_refl = diel_f * g_ggx * d_ggx / denom4
     term1 = jnp.abs((l_dot_h * v_dot_h) / jnp.where(lz * vz != 0.0, lz * vz, 1e-20))
     term2 = (eta_o * eta_o) / jnp.maximum(refr_denom, 1e-20)
-    fac_refr = term1 * term2 * (1.0 - f_diel) * g_ggx * d_ggx
-    brdf_glass = (w_g * jnp.where(reflect, fac_refl, fac_refr))[..., None] * jnp.ones_like(
-        base_color
-    )
+    fac_refr = term1 * term2 * (1.0 - diel_f) * g_ggx * d_ggx
+    glass_k = jnp.where(reflect, fac_refl, fac_refr)
 
     # ---- clearcoat (principled.rs:248-258) — note the extra |l.z| in the reference ----
     d_cc = S.gtr1_D(jnp.abs(l_dot_h), _principled_alpha_g(params))
-    g_cc = S.ggx_G(v, l, jnp.full_like(roughness, 0.25))
-    f_cc = S.fresnel_schlick(
-        jnp.broadcast_to(S.r0_from_eta(jnp.float32(1.5)), base_color.shape), l_dot_h
+    quarter = jnp.full_like(roughness, 0.25)
+    g_cc = S.ggx_G(v, l, quarter)
+    r0_15 = S.r0_from_eta(jnp.float32(1.5))
+    f_cc = S.fresnel_schlick3(
+        (jnp.full_like(lz, r0_15), jnp.full_like(lz, r0_15), jnp.full_like(lz, r0_15)), l_dot_h
     )
-    brdf_cc = (
-        w_c[..., None]
-        * jnp.abs(lz)[..., None]
-        * f_cc
-        * (d_cc * g_cc / denom4)[..., None]
-    )
+    k_cc = jnp.abs(lz) * d_cc * g_cc / denom4
+    cc_rgb = tuple(f_cc[j] * k_cc for j in range(3))
 
-    brdf = jnp.zeros_like(base_color)
-    brdf += jnp.where(((p_d > 0.0) & reflect)[..., None], brdf_diffuse, 0.0)
-    brdf += jnp.where(((p_s > 0.0) & reflect)[..., None], brdf_spec, 0.0)
-    brdf += jnp.where((p_g > 0.0)[..., None], brdf_glass, 0.0)
-    brdf += jnp.where(((p_c > 0.0) & reflect)[..., None], brdf_cc, 0.0)
-    return brdf * jnp.abs(lz)[..., None]
+    m_d = (p_d > 0.0) & reflect
+    m_s = (p_s > 0.0) & reflect
+    m_g = p_g > 0.0
+    m_c = (p_c > 0.0) & reflect
+    out = []
+    for j in range(3):
+        acc = jnp.where(m_d, w_d * diffuse_rgb[j], 0.0)
+        acc += jnp.where(m_s, w_s * spec_rgb[j], 0.0)
+        acc += jnp.where(m_g, w_g * glass_k, 0.0)
+        acc += jnp.where(m_c, w_c * cc_rgb[j], 0.0)
+        out.append(acc * jnp.abs(lz))
+    return tuple(out)
 
 
 # ===========================================================================
-# dispatch
+# dispatch (specialized by Shade.mat_types)
 # ===========================================================================
+
+
+def _select_by_type(sh, cases, default):
+    """cases: list of (mat_type, value) for present types; value [B] or 3-tuple."""
+    if not cases:
+        return default
+    out = default
+    for t, val in cases:
+        m = sh.mtype == t
+        if isinstance(out, tuple):
+            out = la.where3(m, val, out)
+        else:
+            out = jnp.where(m, val, out)
+    return out
 
 
 def bsdf_sample(sh: Shade, v_world, lobe_u, e1, e2, fresnel_u):
@@ -408,64 +455,71 @@ def bsdf_sample(sh: Shade, v_world, lobe_u, e1, e2, fresnel_u):
     Mirrors BxDFMaterial::sample returning Option (None -> valid=False kills the
     path, camera.rs:209-211). DiffuseLight always returns None (material.rs:167-169).
     """
-    d_diff, ok_diff = _diffuse_sample(sh, e1, e2)
-    d_metal, ok_metal = _metal_sample(sh, v_world, e1, e2)
-    d_glass, ok_glass = _glass_sample(sh, v_world, e1, e2, fresnel_u)
-    d_prin, ok_prin = _principled_sample(sh, v_world, lobe_u, e1, e2, fresnel_u)
-
-    t = sh.mtype
-    direction = jnp.where(
-        (t == D.MAT_DIFFUSE)[..., None],
-        d_diff,
-        jnp.where(
-            (t == D.MAT_METAL)[..., None],
-            d_metal,
-            jnp.where((t == D.MAT_GLASS)[..., None], d_glass, d_prin),
-        ),
-    )
-    valid = jnp.select(
-        [t == D.MAT_DIFFUSE, t == D.MAT_METAL, t == D.MAT_GLASS, t == D.MAT_PRINCIPLED],
-        [ok_diff, ok_metal, ok_glass, ok_prin],
-        default=jnp.zeros_like(ok_diff),  # MAT_LIGHT: sample -> None
-    )
-    return direction, valid
+    types = _types(sh)
+    ns = la.unpack3(sh.ns)
+    ng = la.unpack3(sh.ng)
+    vw = la.unpack3(v_world)
+    zeros = jnp.zeros_like(e1)
+    dir_cases, ok_cases = [], []
+    if D.MAT_DIFFUSE in types:
+        d, ok = _diffuse_sample(ns, e1, e2)
+        dir_cases.append((D.MAT_DIFFUSE, d))
+        ok_cases.append((D.MAT_DIFFUSE, ok))
+    if D.MAT_METAL in types:
+        d, ok = _metal_sample(ns, sh.roughness, vw, e1, e2)
+        dir_cases.append((D.MAT_METAL, d))
+        ok_cases.append((D.MAT_METAL, ok))
+    if D.MAT_GLASS in types:
+        d, ok = _glass_sample(sh, ns, sh.roughness, vw, e1, e2, fresnel_u)
+        dir_cases.append((D.MAT_GLASS, d))
+        ok_cases.append((D.MAT_GLASS, ok))
+    if D.MAT_PRINCIPLED in types:
+        d, ok = _principled_sample(sh, ng, vw, lobe_u, e1, e2, fresnel_u)
+        dir_cases.append((D.MAT_PRINCIPLED, d))
+        ok_cases.append((D.MAT_PRINCIPLED, ok))
+    direction = _select_by_type(sh, dir_cases, (zeros, zeros, jnp.ones_like(e1)))
+    valid = _select_by_type(sh, ok_cases, jnp.zeros_like(e1, dtype=bool))  # MAT_LIGHT: None
+    return la.pack3(direction), valid
 
 
 def bsdf_pdf(sh: Shade, v_world, l_world):
     """BxDFMaterial::pdf dispatch; DiffuseLight pdf = 1 (material.rs:171-173)."""
-    t = sh.mtype
-    glass_pdf, _ = _glass_pdf_eval(sh, v_world, l_world)
-    return jnp.select(
-        [t == D.MAT_DIFFUSE, t == D.MAT_METAL, t == D.MAT_GLASS, t == D.MAT_PRINCIPLED],
-        [
-            _diffuse_pdf(sh, l_world),
-            _metal_pdf(sh, v_world, l_world),
-            glass_pdf,
-            _principled_pdf(sh, v_world, l_world),
-        ],
-        default=jnp.ones_like(sh.roughness),  # MAT_LIGHT
-    )
+    types = _types(sh)
+    ns = la.unpack3(sh.ns)
+    ng = la.unpack3(sh.ng)
+    vw = la.unpack3(v_world)
+    lw = la.unpack3(l_world)
+    cases = []
+    if D.MAT_DIFFUSE in types:
+        cases.append((D.MAT_DIFFUSE, _diffuse_pdf(ns, lw)))
+    if D.MAT_METAL in types:
+        cases.append((D.MAT_METAL, _metal_pdf(ns, sh.roughness, vw, lw)))
+    if D.MAT_GLASS in types:
+        pdf, _ = _glass_pdf_eval(sh, ns, sh.roughness, vw, lw)
+        cases.append((D.MAT_GLASS, pdf))
+    if D.MAT_PRINCIPLED in types:
+        cases.append((D.MAT_PRINCIPLED, _principled_pdf(sh, ng, vw, lw)))
+    return _select_by_type(sh, cases, jnp.ones_like(sh.roughness))  # MAT_LIGHT: 1
 
 
 def bsdf_eval(sh: Shade, v_world, l_world):
     """BxDFMaterial::eval dispatch; DiffuseLight eval = ONE (material.rs:175-178)."""
-    t = sh.mtype
-    _, glass_ev = _glass_pdf_eval(sh, v_world, l_world)
-    out = jnp.where(
-        (t == D.MAT_DIFFUSE)[..., None],
-        _diffuse_eval(sh, l_world),
-        jnp.where(
-            (t == D.MAT_METAL)[..., None],
-            _metal_eval(sh, v_world, l_world),
-            jnp.where(
-                (t == D.MAT_GLASS)[..., None],
-                glass_ev,
-                jnp.where(
-                    (t == D.MAT_PRINCIPLED)[..., None],
-                    _principled_eval(sh, v_world, l_world),
-                    jnp.ones_like(glass_ev),  # MAT_LIGHT
-                ),
-            ),
-        ),
-    )
-    return out
+    types = _types(sh)
+    ns = la.unpack3(sh.ns)
+    ng = la.unpack3(sh.ng)
+    vw = la.unpack3(v_world)
+    lw = la.unpack3(l_world)
+    base = la.unpack3(sh.base_color)
+    ones = jnp.ones_like(sh.roughness)
+    cases = []
+    if D.MAT_DIFFUSE in types:
+        cases.append((D.MAT_DIFFUSE, _diffuse_eval(base, ns, lw)))
+    if D.MAT_METAL in types:
+        cases.append((D.MAT_METAL, _metal_eval(base, ns, sh.roughness, vw, lw)))
+    if D.MAT_GLASS in types:
+        _, ev = _glass_pdf_eval(sh, ns, sh.roughness, vw, lw)
+        cases.append((D.MAT_GLASS, (ev, ev, ev)))
+    if D.MAT_PRINCIPLED in types:
+        cases.append((D.MAT_PRINCIPLED, _principled_eval(sh, ng, vw, lw)))
+    out = _select_by_type(sh, cases, (ones, ones, ones))  # MAT_LIGHT: ONE
+    return la.pack3(out)

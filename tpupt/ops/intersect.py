@@ -1,11 +1,17 @@
-"""Ray-scene intersection over SoA geometry tables.
+"""Ray-scene intersection over SoA geometry tables — TPU-layout-native.
 
 TPU re-design of the reference's per-object virtual `intersects` + BVH recursion
-(hittable/*.rs): every ray tests primitives as wide vector ops with a masked min-reduce.
-Small tables (reference scenes: <= ~500 spheres, ~20 quads) evaluate as one [B, N]
-batch; large triangle tables run a fori_loop over fixed-size blocks carrying the
-running best (shape-static, XLA-fusable). An LBVH front-end replaces the brute-force
-sweep for large scenes (ops/bvh.py, SURVEY.md section 7 stage 6).
+(hittable/*.rs). Layout rules that drive this module (measured ~6x on v5e):
+
+- the RAY BATCH axis [B] stays the minor (128-lane) axis of every intermediate —
+  math runs per vector component on [B] or [BLK, B] arrays, never on [B, 3] or
+  [B, N] (a trailing dim of 3 or ~20 pads the vector lanes to 128 and wastes them);
+- primitives are processed in *prim-major* blocks: a [BLK] slice of the table
+  broadcast as [BLK, 1] against rays [1, B], reduced over the BLK sublane axis;
+  small tables unroll fully (static Python loop), large ones run a fori_loop over
+  dynamic slices;
+- winner-attribute fetch uses one-hot matmuls on the MXU for small tables and
+  jnp.take for large ones (ops/gather.py).
 
 Intersection math matches the reference exactly:
   sphere  sphere.rs:64-100  (geometric construction, moving center lerped by time)
@@ -23,6 +29,7 @@ from jax import lax
 
 from ..core import linalg as la
 from ..scene import data as D
+from .gather import take_rows
 from .texture import eval_texture
 
 BIG = la.BIG
@@ -32,8 +39,9 @@ KIND_SPHERE = D.GEOM_SPHERE
 KIND_QUAD = D.GEOM_QUAD
 KIND_TRI = D.GEOM_TRI
 
-_FULL_SWEEP_MAX = 2048  # tables at most this long are tested in one [B, N] batch
-_BLOCK = 2048
+_UNROLL_BLK = 8  # block height for unrolled (small-table) sweeps
+_UNROLL_MAX = 64  # tables up to this many rows unroll as static Python loops
+_LOOP_BLK = 256  # block height for fori_loop (large-table) sweeps
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,38 +66,93 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _cols(m):
+    """[N,3] -> three [N] column arrays (static slices)."""
+    return m[:, 0], m[:, 1], m[:, 2]
+
+
+def _blk(c, i, blk):
+    """Static block i of a column -> [blk, 1] for prim-major broadcasting."""
+    return lax.dynamic_slice_in_dim(c, i * blk, blk)[:, None] if not isinstance(i, int) else (
+        c[i * blk : (i + 1) * blk][:, None]
+    )
+
+
+def _reduce_best(t_blk, base):
+    """[BLK, B] distances -> (best_t [B], best_idx [B]) with idx offset by base."""
+    am = jnp.argmin(t_blk, axis=0)
+    best = jnp.min(t_blk, axis=0)
+    return best, (base + am).astype(jnp.int32)
+
+
+def _combine(a, b):
+    (ta, ia), (tb, ib) = a, b
+    better = tb < ta
+    return jnp.where(better, tb, ta), jnp.where(better, ib, ia)
+
+
+def _sweep(n, blk_fn, blk, unroll):
+    """Best-hit over ceil(n/blk) prim-major blocks.
+
+    blk_fn(i) -> [blk, B] distances for block i (i is a Python int when unrolled,
+    a traced scalar inside fori_loop otherwise).
+    """
+    n_blocks = (n + blk - 1) // blk
+    if unroll:
+        best = _reduce_best(blk_fn(0), 0)
+        for i in range(1, n_blocks):
+            best = _combine(best, _reduce_best(blk_fn(i), i * blk))
+        return best
+
+    def body(i, carry):
+        return _combine(carry, _reduce_best(blk_fn(i), i * blk))
+
+    b = blk_fn(0).shape[1]
+    init = (jnp.full((b,), BIG), jnp.zeros((b,), jnp.int32))
+    return lax.fori_loop(0, n_blocks, body, init)
+
+
 # ---------------------------------------------------------------------------
-# per-kind distance kernels: rays [B,3] x prims [N,...] -> t [B,N] (BIG on miss)
+# per-kind prim-major distance blocks
 # ---------------------------------------------------------------------------
 
 
-def sphere_ts(o, d, time, c1, c2, r, tmin, tmax):
-    """sphere.rs:64-87 for a [B] ray batch against [N] spheres -> [B,N]."""
-    center = c1[None, :, :] + (c2 - c1)[None, :, :] * time[:, None, None]
-    l = center - o[:, None, :]
-    s = jnp.sum(l * d[:, None, :], axis=-1)
-    l2 = jnp.sum(l * l, axis=-1)
-    r2 = (r * r)[None, :]
+def _sphere_block(sd, i, blk, ox, oy, oz, dx, dy, dz, time, tmin, tmax):
+    """sphere.rs:64-87 for table block i -> [blk, B]."""
+    c1x, c1y, c1z = (_blk(c, i, blk) for c in _cols(sd.sph_c1))
+    c2x, c2y, c2z = (_blk(c, i, blk) for c in _cols(sd.sph_c2))
+    r = _blk(sd.sph_r, i, blk)
+    cx = c1x + (c2x - c1x) * time
+    cy = c1y + (c2y - c1y) * time
+    cz = c1z + (c2z - c1z) * time
+    lx, ly, lz = cx - ox, cy - oy, cz - oz
+    s = lx * dx + ly * dy + lz * dz
+    l2 = lx * lx + ly * ly + lz * lz
+    r2 = r * r
     d2 = l2 - s * s
     q = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
     t = jnp.where(l2 > r2, s - q, s + q)
-    # r < 0 is the compiler's pad sentinel (real spheres clamp radius to >= 0,
-    # sphere.rs:26); it must never hit
-    miss = (
-        ((s < 0.0) & (l2 > r2)) | (d2 > r2) | (t <= tmin) | (t >= tmax) | (r[None, :] < 0.0)
-    )
+    miss = ((s < 0.0) & (l2 > r2)) | (d2 > r2) | (t <= tmin) | (t >= tmax) | (r < 0.0)
     return jnp.where(miss, BIG, t)
 
 
-def quad_ts(o, d, q, u, v, w, n, dd, tmin, tmax):
-    """quad.rs:40-59 -> [B,N]. Also returns nothing else; alpha/beta re-derived later."""
-    nd = jnp.sum(n[None, :, :] * d[:, None, :], axis=-1)
-    no = jnp.sum(n[None, :, :] * o[:, None, :], axis=-1)
-    safe_nd = jnp.where(jnp.abs(nd) < 1e-8, 1.0, nd)
-    t = (dd[None, :] - no) / safe_nd
-    p = o[:, None, :] + t[..., None] * d[:, None, :] - q[None, :, :]
-    alpha = jnp.sum(w[None, :, :] * jnp.cross(p, jnp.broadcast_to(v[None], p.shape)), axis=-1)
-    beta = jnp.sum(w[None, :, :] * jnp.cross(jnp.broadcast_to(u[None], p.shape), p), axis=-1)
+def _quad_block(sd, i, blk, ox, oy, oz, dx, dy, dz, tmin, tmax):
+    """quad.rs:40-59 for table block i -> [blk, B]."""
+    nx, ny, nz = (_blk(c, i, blk) for c in _cols(sd.quad_n))
+    qx, qy, qz = (_blk(c, i, blk) for c in _cols(sd.quad_q))
+    ux, uy, uz = (_blk(c, i, blk) for c in _cols(sd.quad_u))
+    vx, vy, vz = (_blk(c, i, blk) for c in _cols(sd.quad_v))
+    wx, wy, wz = (_blk(c, i, blk) for c in _cols(sd.quad_w))
+    dd = _blk(sd.quad_d, i, blk)
+    nd = nx * dx + ny * dy + nz * dz
+    no = nx * ox + ny * oy + nz * oz
+    t = (dd - no) / jnp.where(jnp.abs(nd) < 1e-8, 1.0, nd)
+    px = ox + t * dx - qx
+    py = oy + t * dy - qy
+    pz = oz + t * dz - qz
+    # alpha = w . (p x v), beta = w . (u x p)
+    alpha = wx * (py * vz - pz * vy) + wy * (pz * vx - px * vz) + wz * (px * vy - py * vx)
+    beta = wx * (uy * pz - uz * py) + wy * (uz * px - ux * pz) + wz * (ux * py - uy * px)
     miss = (
         (jnp.abs(nd) < 1e-8)
         | (t <= tmin)
@@ -102,23 +165,31 @@ def quad_ts(o, d, q, u, v, w, n, dd, tmin, tmax):
     return jnp.where(miss, BIG, t)
 
 
-def tri_ts(o, d, v0, e1, e2, tmin, tmax):
-    """mesh.rs:50-82 (Moller-Trumbore) -> [B,N]."""
-    h = jnp.cross(d[:, None, :], jnp.broadcast_to(e2[None], (d.shape[0],) + e2.shape))
-    a = jnp.sum(e1[None, :, :] * h, axis=-1)
-    safe_a = jnp.where(jnp.abs(a) < 1e-8, 1.0, a)
-    f = 1.0 / safe_a
-    s = o[:, None, :] - v0[None, :, :]
-    uu = f * jnp.sum(s * h, axis=-1)
-    q = jnp.cross(s, jnp.broadcast_to(e1[None], s.shape))
-    vv = f * jnp.sum(d[:, None, :] * q, axis=-1)
-    t = f * jnp.sum(e2[None, :, :] * q, axis=-1)
+def _tri_block(sd, i, blk, ox, oy, oz, dx, dy, dz, tmin, tmax):
+    """mesh.rs:50-82 (Moller-Trumbore) for table block i -> [blk, B]."""
+    v0x, v0y, v0z = (_blk(c, i, blk) for c in _cols(sd.tri_v0))
+    e1x, e1y, e1z = (_blk(c, i, blk) for c in _cols(sd.tri_e1))
+    e2x, e2y, e2z = (_blk(c, i, blk) for c in _cols(sd.tri_e2))
+    # h = d x e2
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    f = 1.0 / jnp.where(jnp.abs(a) < 1e-8, 1.0, a)
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    # q = s x e1
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
     miss = (
         (jnp.abs(a) < 1e-8)
-        | (uu < 0.0)
-        | (uu > 1.0)
-        | (vv < 0.0)
-        | (uu + vv > 1.0)
+        | (u < 0.0)
+        | (u > 1.0)
+        | (v < 0.0)
+        | (u + v > 1.0)
         | (t <= tmin)
         | (t >= tmax)
     )
@@ -126,35 +197,8 @@ def tri_ts(o, d, v0, e1, e2, tmin, tmax):
 
 
 # ---------------------------------------------------------------------------
-# best-hit reduction (full sweep or blocked loop)
+# closest hit
 # ---------------------------------------------------------------------------
-
-
-def _best_of(ts):
-    """[B,N] -> (t_best [B], idx_best [B])."""
-    idx = jnp.argmin(ts, axis=-1)
-    return jnp.take_along_axis(ts, idx[:, None], axis=-1)[:, 0], idx.astype(jnp.int32)
-
-
-def _blocked_best(n, make_block_ts):
-    """Loop over fixed blocks of a padded table, carrying the running best.
-
-    make_block_ts(start) must return [B, _BLOCK] distances for prims [start, start+_BLOCK).
-    `n` must be a multiple of _BLOCK (compiler pads with degenerate prims).
-    """
-    n_blocks = n // _BLOCK
-
-    def body(i, carry):
-        best_t, best_i = carry
-        start = i * _BLOCK
-        ts = make_block_ts(start)
-        t_blk, i_blk = _best_of(ts)
-        better = t_blk < best_t
-        return jnp.where(better, t_blk, best_t), jnp.where(better, start + i_blk, best_i)
-
-    b = make_block_ts(0).shape[0]
-    init = (jnp.full((b,), BIG), jnp.zeros((b,), jnp.int32))
-    return lax.fori_loop(1, n_blocks, body, body(0, init)) if n_blocks > 1 else body(0, init)
 
 
 def closest_hit(sd: "D.SceneData", o, d, time, tmin, tmax) -> Hit:
@@ -163,135 +207,185 @@ def closest_hit(sd: "D.SceneData", o, d, time, tmin, tmax) -> Hit:
     Light geometry rows sit after object rows (scene/compile.py), so strict-min
     selection reproduces the reference's tie-break (objects win).
     """
+    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
     ns, nq, nt = sd.n_spheres, sd.n_quads, sd.n_tris
 
-    if ns <= _FULL_SWEEP_MAX:
-        t_s, i_s = _best_of(sphere_ts(o, d, time, sd.sph_c1, sd.sph_c2, sd.sph_r, tmin, tmax))
-    else:
-        t_s, i_s = _blocked_best(
-            ns,
-            lambda st: sphere_ts(
-                o,
-                d,
-                time,
-                lax.dynamic_slice_in_dim(sd.sph_c1, st, _BLOCK),
-                lax.dynamic_slice_in_dim(sd.sph_c2, st, _BLOCK),
-                lax.dynamic_slice_in_dim(sd.sph_r, st, _BLOCK),
-                tmin,
-                tmax,
-            ),
-        )
+    def sweep_kind(n, fn):
+        # the scene compiler pads tables to a multiple of 8 (<=64 rows) or 256
+        if n <= _UNROLL_MAX:
+            blk = min(_UNROLL_BLK, n)
+            return _sweep(n, lambda i: fn(i, blk), blk, unroll=True)
+        return _sweep(n, lambda i: fn(i, _LOOP_BLK), _LOOP_BLK, unroll=False)
 
-    t_q, i_q = _best_of(
-        quad_ts(o, d, sd.quad_q, sd.quad_u, sd.quad_v, sd.quad_w, sd.quad_n, sd.quad_d, tmin, tmax)
+    t_s, i_s = sweep_kind(
+        ns, lambda i, blk: _sphere_block(sd, i, blk, ox, oy, oz, dx, dy, dz, time, tmin, tmax)
+    )
+    t_q, i_q = sweep_kind(
+        nq, lambda i, blk: _quad_block(sd, i, blk, ox, oy, oz, dx, dy, dz, tmin, tmax)
+    )
+    t_t, i_t = sweep_kind(
+        nt, lambda i, blk: _tri_block(sd, i, blk, ox, oy, oz, dx, dy, dz, tmin, tmax)
     )
 
-    if nt <= _FULL_SWEEP_MAX:
-        t_t, i_t = _best_of(tri_ts(o, d, sd.tri_v0, sd.tri_e1, sd.tri_e2, tmin, tmax))
-    else:
-        t_t, i_t = _blocked_best(
-            nt,
-            lambda st: tri_ts(
-                o,
-                d,
-                lax.dynamic_slice_in_dim(sd.tri_v0, st, _BLOCK),
-                lax.dynamic_slice_in_dim(sd.tri_e1, st, _BLOCK),
-                lax.dynamic_slice_in_dim(sd.tri_e2, st, _BLOCK),
-                tmin,
-                tmax,
-            ),
-        )
-
-    ts3 = jnp.stack([t_s, t_q, t_t], axis=-1)
-    kind = jnp.argmin(ts3, axis=-1).astype(jnp.int32)
-    t_best = jnp.min(ts3, axis=-1)
-    idx = jnp.where(kind == KIND_SPHERE, i_s, jnp.where(kind == KIND_QUAD, i_q, i_t))
+    # min across kinds; ties resolve sphere < quad < tri like the old stacked argmin
+    t_best = jnp.minimum(jnp.minimum(t_s, t_q), t_t)
+    kind = jnp.where(
+        t_s == t_best,
+        KIND_SPHERE,
+        jnp.where(t_q == t_best, KIND_QUAD, KIND_TRI),
+    ).astype(jnp.int32)
+    idx = jnp.where(
+        kind == KIND_SPHERE, i_s, jnp.where(kind == KIND_QUAD, i_q, i_t)
+    )
     valid = t_best < BIG
     return _make_hit(sd, o, d, time, t_best, kind, idx, valid)
 
 
 def _make_hit(sd, o, d, time, t, kind, idx, valid) -> Hit:
     """Reconstruct hit attributes at the winning primitive (HitInfo::new)."""
-    point = o + t[..., None] * d
+    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
 
     # ---- sphere attributes (sphere.rs:52-56, 88-90) ----
     si = jnp.where(kind == KIND_SPHERE, idx, 0)
-    c = sd.sph_c1[si] + (sd.sph_c2[si] - sd.sph_c1[si]) * time[..., None]
-    n_sph = la.normalize(point - c, eps=1e-30)
-    theta = jnp.arccos(jnp.clip(-n_sph[..., 1], -1.0, 1.0))
-    phi = jnp.arctan2(-n_sph[..., 2], n_sph[..., 0]) + jnp.pi
-    uv_sph = jnp.stack([phi / (2.0 * jnp.pi), theta / jnp.pi], axis=-1)
-    mat_sph = sd.sph_mat[si]
+    sph_rows = take_rows(
+        jnp.concatenate([sd.sph_c1, sd.sph_c2, sd.sph_r[:, None], sd.sph_mat[:, None].astype(jnp.float32)], axis=1),
+        si,
+    )
+    c1x, c1y, c1z, c2x, c2y, c2z = (sph_rows[..., j] for j in range(6))
+    mat_sph = sph_rows[..., 7].astype(jnp.int32)
+    cx = c1x + (c2x - c1x) * time
+    cy = c1y + (c2y - c1y) * time
+    cz = c1z + (c2z - c1z) * time
+    nsx, nsy, nsz = px - cx, py - cy, pz - cz
+    inv = 1.0 / jnp.sqrt(jnp.maximum(nsx * nsx + nsy * nsy + nsz * nsz, 1e-30))
+    nsx, nsy, nsz = nsx * inv, nsy * inv, nsz * inv
+    theta = jnp.arccos(jnp.clip(-nsy, -1.0, 1.0))
+    phi = jnp.arctan2(-nsz, nsx) + jnp.pi
+    u_sph = phi / (2.0 * jnp.pi)
+    v_sph = theta / jnp.pi
 
     # ---- quad attributes (quad.rs:53-69) ----
     qi = jnp.where(kind == KIND_QUAD, idx, 0)
-    p_rel = point - sd.quad_q[qi]
-    alpha = jnp.sum(sd.quad_w[qi] * jnp.cross(p_rel, sd.quad_v[qi]), axis=-1)
-    beta = jnp.sum(sd.quad_w[qi] * jnp.cross(sd.quad_u[qi], p_rel), axis=-1)
-    n_quad = sd.quad_n[qi]
-    uv_quad = jnp.stack([alpha, beta], axis=-1)
-    mat_quad = sd.quad_mat[qi]
+    quad_rows = take_rows(
+        jnp.concatenate(
+            [sd.quad_q, sd.quad_u, sd.quad_v, sd.quad_w, sd.quad_n,
+             sd.quad_mat[:, None].astype(jnp.float32)],
+            axis=1,
+        ),
+        qi,
+    )
+    qqx, qqy, qqz = (quad_rows[..., j] for j in range(3))
+    qux, quy, quz = (quad_rows[..., 3 + j] for j in range(3))
+    qvx, qvy, qvz = (quad_rows[..., 6 + j] for j in range(3))
+    qwx, qwy, qwz = (quad_rows[..., 9 + j] for j in range(3))
+    qnx, qny, qnz = (quad_rows[..., 12 + j] for j in range(3))
+    mat_quad = quad_rows[..., 15].astype(jnp.int32)
+    prx, pry, prz = px - qqx, py - qqy, pz - qqz
+    alpha = qwx * (pry * qvz - prz * qvy) + qwy * (prz * qvx - prx * qvz) + qwz * (prx * qvy - pry * qvx)
+    beta = qwx * (quy * prz - quz * pry) + qwy * (quz * prx - qux * prz) + qwz * (qux * pry - quy * prx)
 
     # ---- triangle attributes (mesh.rs:84-101) ----
     ti = jnp.where(kind == KIND_TRI, idx, 0)
-    v0, e1, e2 = sd.tri_v0[ti], sd.tri_e1[ti], sd.tri_e2[ti]
-    h = jnp.cross(d, e2)
-    a = jnp.sum(e1 * h, axis=-1)
+    tri_geo = take_rows(jnp.concatenate([sd.tri_v0, sd.tri_e1, sd.tri_e2], axis=1), ti)
+    v0x, v0y, v0z = (tri_geo[..., j] for j in range(3))
+    e1x, e1y, e1z = (tri_geo[..., 3 + j] for j in range(3))
+    e2x, e2y, e2z = (tri_geo[..., 6 + j] for j in range(3))
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
     f = 1.0 / jnp.where(jnp.abs(a) < 1e-30, 1.0, a)
-    s = o - v0
-    bu = f * jnp.sum(s * h, axis=-1)
-    q2 = jnp.cross(s, e1)
-    bv = f * jnp.sum(d * q2, axis=-1)
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    bu = f * (sx * hx + sy * hy + sz * hz)
+    qx2 = sy * e1z - sz * e1y
+    qy2 = sz * e1x - sx * e1z
+    qz2 = sx * e1y - sy * e1x
+    bv = f * (dx * qx2 + dy * qy2 + dz * qz2)
     bw = 1.0 - bu - bv
-    n_tri = la.normalize(
-        sd.tri_n0[ti] * bw[..., None] + sd.tri_n1[ti] * bu[..., None] + sd.tri_n2[ti] * bv[..., None],
-        eps=1e-30,
+    tri_attr = take_rows(
+        jnp.concatenate(
+            [sd.tri_n0, sd.tri_n1, sd.tri_n2, sd.tri_uv0, sd.tri_uv1, sd.tri_uv2,
+             sd.tri_has_uv[:, None].astype(jnp.float32),
+             sd.tri_mat[:, None].astype(jnp.float32)],
+            axis=1,
+        ),
+        ti,
     )
-    uv_interp = (
-        sd.tri_uv0[ti] * bw[..., None] + sd.tri_uv1[ti] * bu[..., None] + sd.tri_uv2[ti] * bv[..., None]
-    )
-    uv_tri = jnp.where(sd.tri_has_uv[ti][..., None], uv_interp, jnp.stack([bu, bv], axis=-1))
-    mat_tri = sd.tri_mat[ti]
+    n0x, n0y, n0z = (tri_attr[..., j] for j in range(3))
+    n1x, n1y, n1z = (tri_attr[..., 3 + j] for j in range(3))
+    n2x, n2y, n2z = (tri_attr[..., 6 + j] for j in range(3))
+    uv0u, uv0v = tri_attr[..., 9], tri_attr[..., 10]
+    uv1u, uv1v = tri_attr[..., 11], tri_attr[..., 12]
+    uv2u, uv2v = tri_attr[..., 13], tri_attr[..., 14]
+    has_uv = tri_attr[..., 15] > 0.5
+    mat_tri = tri_attr[..., 16].astype(jnp.int32)
+    ntx = n0x * bw + n1x * bu + n2x * bv
+    nty = n0y * bw + n1y * bu + n2y * bv
+    ntz = n0z * bw + n1z * bu + n2z * bv
+    invt = 1.0 / jnp.sqrt(jnp.maximum(ntx * ntx + nty * nty + ntz * ntz, 1e-30))
+    ntx, nty, ntz = ntx * invt, nty * invt, ntz * invt
+    u_tri = jnp.where(has_uv, uv0u * bw + uv1u * bu + uv2u * bv, bu)
+    v_tri = jnp.where(has_uv, uv0v * bw + uv1v * bu + uv2v * bv, bv)
 
     # ---- select by kind ----
-    sphere_m = (kind == KIND_SPHERE)[..., None]
-    quad_m = (kind == KIND_QUAD)[..., None]
-    n_raw = jnp.where(sphere_m, n_sph, jnp.where(quad_m, n_quad, n_tri))
-    uv = jnp.where(sphere_m, uv_sph, jnp.where(quad_m, uv_quad, uv_tri))
-    mat_id = jnp.where(
-        kind == KIND_SPHERE, mat_sph, jnp.where(kind == KIND_QUAD, mat_quad, mat_tri)
-    )
+    is_s = kind == KIND_SPHERE
+    is_q = kind == KIND_QUAD
+    nrx = jnp.where(is_s, nsx, jnp.where(is_q, qnx, ntx))
+    nry = jnp.where(is_s, nsy, jnp.where(is_q, qny, nty))
+    nrz = jnp.where(is_s, nsz, jnp.where(is_q, qnz, ntz))
+    uu = jnp.where(is_s, u_sph, jnp.where(is_q, alpha, u_tri))
+    vv = jnp.where(is_s, v_sph, jnp.where(is_q, beta, v_tri))
+    mat_id = jnp.where(is_s, mat_sph, jnp.where(is_q, mat_quad, mat_tri))
 
     # ---- HitInfo::new (hit_info.rs:25-43): front-face flip + normal mapping ----
-    front = jnp.sum(d * n_raw, axis=-1) < 0.0
-    ng = la.normalize(n_raw, eps=1e-30) * jnp.where(front, 1.0, -1.0)[..., None]
+    front = dx * nrx + dy * nry + dz * nrz < 0.0
+    invn = 1.0 / jnp.sqrt(jnp.maximum(nrx * nrx + nry * nry + nrz * nrz, 1e-30))
+    sign = jnp.where(front, invn, -invn)
+    ngx, ngy, ngz = nrx * sign, nry * sign, nrz * sign
 
-    ntex = sd.mat_normal_tex[mat_id]
-    has_nm = ntex >= 0
-    mapped = 2.0 * eval_texture(sd, ntex, uv[..., 0], uv[..., 1], point) - 1.0
-    # ad-hoc tangent basis (hit_info.rs:58-67)
-    use_y = jnp.abs(ng[..., 0]) > 0.9
-    axis = jnp.where(
-        use_y[..., None],
-        jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], ng.dtype), ng.shape),
-        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], ng.dtype), ng.shape),
-    )
-    tangent = la.normalize(jnp.cross(ng, axis), eps=1e-30)
-    bitangent = jnp.cross(ng, tangent)
-    ns_mapped = la.normalize(
-        mapped[..., 0:1] * tangent + mapped[..., 1:2] * bitangent + mapped[..., 2:3] * ng,
-        eps=1e-30,
-    )
-    ns = jnp.where(has_nm[..., None], ns_mapped, ng)
+    point = jnp.stack([px, py, pz], axis=-1)
+    ng = jnp.stack([ngx, ngy, ngz], axis=-1)
+
+    if sd.has_normal_maps:  # static: scenes without normal maps compile this out
+        ntex = sd.mat_normal_tex[mat_id]
+        has_nm = ntex >= 0
+        mapped = 2.0 * eval_texture(sd, ntex, uu, vv, point) - 1.0
+        # ad-hoc tangent basis (hit_info.rs:58-67)
+        use_y = jnp.abs(ngx) > 0.9
+        axx = jnp.where(use_y, 0.0, 1.0)
+        axy = jnp.where(use_y, 1.0, 0.0)
+        # tangent = normalize(ng x axis); axis z component is 0
+        tx = ngy * 0.0 - ngz * axy
+        ty = ngz * axx - ngx * 0.0
+        tz = ngx * axy - ngy * axx
+        invtg = 1.0 / jnp.sqrt(jnp.maximum(tx * tx + ty * ty + tz * tz, 1e-30))
+        tx, ty, tz = tx * invtg, ty * invtg, tz * invtg
+        bx = ngy * tz - ngz * ty
+        by = ngz * tx - ngx * tz
+        bz = ngx * ty - ngy * tx
+        mx, my, mz = mapped[..., 0], mapped[..., 1], mapped[..., 2]
+        nsx2 = mx * tx + my * bx + mz * ngx
+        nsy2 = mx * ty + my * by + mz * ngy
+        nsz2 = mx * tz + my * bz + mz * ngz
+        invm = 1.0 / jnp.sqrt(jnp.maximum(nsx2 * nsx2 + nsy2 * nsy2 + nsz2 * nsz2, 1e-30))
+        ns_mapped = jnp.stack([nsx2 * invm, nsy2 * invm, nsz2 * invm], axis=-1)
+        ns_arr = jnp.where(has_nm[..., None], ns_mapped, ng)
+    else:
+        ns_arr = ng  # scene has no normal maps: shading normal == geometric
 
     return Hit(
         valid=valid,
         t=t,
         point=point,
         ng=ng,
-        ns=ns,
+        ns=ns_arr,
         front=front,
-        u=uv[..., 0],
-        v=uv[..., 1],
+        u=uu,
+        v=vv,
         mat_id=mat_id,
     )

@@ -1,4 +1,4 @@
-"""Light sampling and pdf for NEE / MIS.
+"""Light sampling and pdf for NEE / MIS — component-form (SoA) implementation.
 
 Matches the reference estimator exactly (SURVEY.md section 3.5):
 
@@ -14,7 +14,8 @@ Matches the reference estimator exactly (SURVEY.md section 3.5):
   — not the standard cone solid angle 2*pi*(1-sqrt(1-r2/d2)).
 
 Visibility is implicit: the sampled direction becomes the next path ray (camera.rs:218);
-there is no separate shadow connection.
+there is no separate shadow connection. The per-light loop is a static Python loop
+(reference scenes have 1-2 lights) and all per-lane math is [B]-shaped.
 """
 
 from __future__ import annotations
@@ -23,6 +24,7 @@ import jax.numpy as jnp
 
 from ..core import linalg as la
 from ..scene import data as D
+from .gather import take_rows
 
 TWO_PI = jnp.float32(2.0 * jnp.pi)
 
@@ -31,46 +33,50 @@ def sample_lights(sd: "D.SceneData", origin, time, u_pick, u1, u2):
     """Pick a light uniformly and sample a direction toward it -> [B,3] unit dirs."""
     n = sd.n_lights
     li = jnp.minimum((u_pick * n).astype(jnp.int32), n - 1)
-    kind = sd.light_kind[li]
-    gi = sd.light_idx[li]
+    rows = take_rows(sd.light_geom, li)  # [B, 10] kind-uniform rows (scene/compile.py)
+    kind = rows[..., 9].astype(jnp.int32)
+    ox, oy, oz = la.unpack3(origin)
+
+    ax, ay, az = rows[..., 0], rows[..., 1], rows[..., 2]
+    bx, by, bz = rows[..., 3], rows[..., 4], rows[..., 5]
+    cx, cy, cz = rows[..., 6], rows[..., 7], rows[..., 8]
 
     # sphere: uniform point on the full sphere (sphere.rs:110-121)
-    si = jnp.where(kind == D.GEOM_SPHERE, gi, 0)
     theta = TWO_PI * u1
     phi = jnp.arccos(jnp.clip(2.0 * u2 - 1.0, -1.0, 1.0))
     sp = jnp.sin(phi)
-    offset = jnp.stack([sp * jnp.cos(theta), sp * jnp.sin(theta), jnp.cos(phi)], axis=-1)
-    c = sd.sph_c1[si] + (sd.sph_c2[si] - sd.sph_c1[si]) * time[..., None]
-    p_sph = c + offset * sd.sph_r[si][..., None]
-
-    # quad: uniform in the parallelogram (quad.rs:80-86)
-    qi = jnp.where(kind == D.GEOM_QUAD, gi, 0)
-    p_quad = sd.quad_q[qi] + sd.quad_u[qi] * u1[..., None] + sd.quad_v[qi] * u2[..., None]
-
-    # triangle: uniform (u,v) without fold — reference bias preserved (mesh.rs:122-129)
-    ti = jnp.where(kind == D.GEOM_TRI, gi, 0)
-    w = 1.0 - u1 - u2
-    p_tri = (
-        sd.tri_v0[ti] * w[..., None]
-        + (sd.tri_v0[ti] + sd.tri_e1[ti]) * u1[..., None]
-        + (sd.tri_v0[ti] + sd.tri_e2[ti]) * u2[..., None]
+    r = cx  # radius slot for spheres
+    scx = ax + (bx - ax) * time
+    scy = ay + (by - ay) * time
+    scz = az + (bz - az) * time
+    p_sph = (
+        scx + sp * jnp.cos(theta) * r,
+        scy + sp * jnp.sin(theta) * r,
+        scz + jnp.cos(phi) * r,
     )
 
-    point = jnp.where(
-        (kind == D.GEOM_SPHERE)[..., None],
-        p_sph,
-        jnp.where((kind == D.GEOM_QUAD)[..., None], p_quad, p_tri),
-    )
-    return la.normalize(point - origin, eps=1e-30)
+    # quad: q + u*u1 + v*u2 (quad.rs:80-86)
+    p_quad = (ax + bx * u1 + cx * u2, ay + by * u1 + cy * u2, az + bz * u1 + cz * u2)
+
+    # triangle: v0*w + v1*u1 + v2*u2 with w = 1-u1-u2, no fold (mesh.rs:122-129):
+    # = v0 + e1*u1 + e2*u2  (since v1 = v0+e1, v2 = v0+e2 and w+u1+u2 = 1)
+    p_tri = (ax + bx * u1 + cx * u2, ay + by * u1 + cy * u2, az + bz * u1 + cz * u2)
+
+    is_s = kind == D.GEOM_SPHERE
+    is_q = kind == D.GEOM_QUAD
+    p = la.where3(is_s, p_sph, la.where3(is_q, p_quad, p_tri))
+    d = la.normalize3((p[0] - ox, p[1] - oy, p[2] - oz), eps=1e-30)
+    return la.pack3(d)
 
 
-def _sphere_light_pdf(sd, si, origin, direction, time):
-    """sphere.rs:123-135 with interval (0, inf)."""
-    c = sd.sph_c1[si] + (sd.sph_c2[si] - sd.sph_c1[si]) * time[..., None]
-    r = sd.sph_r[si]
-    l = c - origin
-    s = jnp.sum(l * direction, axis=-1)
-    l2 = jnp.sum(l * l, axis=-1)
+def _sphere_light_pdf(c1, c2, r, o, d, time):
+    """sphere.rs:123-135 with interval (0, inf). All args component/[B] form."""
+    cx = c1[0] + (c2[0] - c1[0]) * time
+    cy = c1[1] + (c2[1] - c1[1]) * time
+    cz = c1[2] + (c2[2] - c1[2]) * time
+    lx, ly, lz = cx - o[0], cy - o[1], cz - o[2]
+    s = lx * d[0] + ly * d[1] + lz * d[2]
+    l2 = lx * lx + ly * ly + lz * lz
     r2 = r * r
     d2 = l2 - s * s
     q = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
@@ -80,16 +86,16 @@ def _sphere_light_pdf(sd, si, origin, direction, time):
     return jnp.where(hit, 1.0 / jnp.maximum(solid_angle, 1e-20), 0.0)
 
 
-def _quad_light_pdf(sd, qi, origin, direction):
+def _quad_light_pdf(q, u, v, w, nrm, dd, o, d):
     """quad.rs:88-98 with interval (0, inf)."""
-    n = sd.quad_n[qi]
-    nd = jnp.sum(n * direction, axis=-1)
-    no = jnp.sum(n * origin, axis=-1)
-    safe_nd = jnp.where(jnp.abs(nd) < 1e-8, 1.0, nd)
-    t = (sd.quad_d[qi] - no) / safe_nd
-    p = origin + t[..., None] * direction - sd.quad_q[qi]
-    alpha = jnp.sum(sd.quad_w[qi] * jnp.cross(p, sd.quad_v[qi]), axis=-1)
-    beta = jnp.sum(sd.quad_w[qi] * jnp.cross(sd.quad_u[qi], p), axis=-1)
+    nd = nrm[0] * d[0] + nrm[1] * d[1] + nrm[2] * d[2]
+    no = nrm[0] * o[0] + nrm[1] * o[1] + nrm[2] * o[2]
+    t = (dd - no) / jnp.where(jnp.abs(nd) < 1e-8, 1.0, nd)
+    px = o[0] + t * d[0] - q[0]
+    py = o[1] + t * d[1] - q[1]
+    pz = o[2] + t * d[2] - q[2]
+    alpha = w[0] * (py * v[2] - pz * v[1]) + w[1] * (pz * v[0] - px * v[2]) + w[2] * (px * v[1] - py * v[0])
+    beta = w[0] * (u[1] * pz - u[2] * py) + w[1] * (u[2] * px - u[0] * pz) + w[2] * (u[0] * py - u[1] * px)
     hit = (
         (jnp.abs(nd) >= 1e-8)
         & (t > 0.0)
@@ -98,31 +104,36 @@ def _quad_light_pdf(sd, qi, origin, direction):
         & (beta >= 0.0)
         & (beta <= 1.0)
     )
-    area = la.length(jnp.cross(sd.quad_u[qi], sd.quad_v[qi]))
+    ucv = la.cross3(u, v)
+    area = jnp.sqrt(la.dot3(ucv, ucv))
     cos_theta = jnp.abs(nd)  # |dir . normal| (quad.rs:93; flip sign cancels in abs)
     pdf = (t * t) / jnp.maximum(cos_theta * area, 1e-20)
     return jnp.where(hit, pdf, 0.0)
 
 
-def _tri_light_pdf(sd, ti, origin, direction):
+def _tri_light_pdf(v0, e1, e2, n0, n1, n2, o, d):
     """mesh.rs:131-141 with interval (0, inf)."""
-    v0, e1, e2 = sd.tri_v0[ti], sd.tri_e1[ti], sd.tri_e2[ti]
-    h = jnp.cross(direction, e2)
-    a = jnp.sum(e1 * h, axis=-1)
+    h = la.cross3(d, e2)
+    a = la.dot3(e1, h)
     f = 1.0 / jnp.where(jnp.abs(a) < 1e-8, 1.0, a)
-    s = origin - v0
-    u = f * jnp.sum(s * h, axis=-1)
-    q = jnp.cross(s, e1)
-    v = f * jnp.sum(direction * q, axis=-1)
-    t = f * jnp.sum(e2 * q, axis=-1)
+    s = (o[0] - v0[0], o[1] - v0[1], o[2] - v0[2])
+    u = f * la.dot3(s, h)
+    q = la.cross3(s, e1)
+    v = f * la.dot3(d, q)
+    t = f * la.dot3(e2, q)
     hit = (jnp.abs(a) >= 1e-8) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0)
     w = 1.0 - u - v
-    normal = la.normalize(
-        sd.tri_n0[ti] * w[..., None] + sd.tri_n1[ti] * u[..., None] + sd.tri_n2[ti] * v[..., None],
+    nrm = la.normalize3(
+        (
+            n0[0] * w + n1[0] * u + n2[0] * v,
+            n0[1] * w + n1[1] * u + n2[1] * v,
+            n0[2] * w + n1[2] * u + n2[2] * v,
+        ),
         eps=1e-30,
     )
-    area = 0.5 * la.length(jnp.cross(e1, e2))
-    cos_theta = jnp.abs(jnp.sum(direction * normal, axis=-1))
+    e1xe2 = la.cross3(e1, e2)
+    area = 0.5 * jnp.sqrt(la.dot3(e1xe2, e1xe2))
+    cos_theta = jnp.abs(la.dot3(d, nrm))
     pdf = (t * t) / jnp.maximum(cos_theta * area, 1e-20)
     return jnp.where(hit, pdf, 0.0)
 
@@ -130,17 +141,41 @@ def _tri_light_pdf(sd, ti, origin, direction):
 def pdf_lights(sd: "D.SceneData", origin, direction, time):
     """Mean per-light pdf over the light table (list.rs:86-96) -> [B]."""
     n = sd.n_lights
-    total = jnp.zeros(origin.shape[:-1], dtype=jnp.float32)
+    o = la.unpack3(origin)
+    d = la.unpack3(direction)
+    total = jnp.zeros_like(o[0])
     # n is a static (compile-time) table length; small in every reference scene.
+    # light kinds/indices are numpy-able at trace time (concrete scene arrays) only
+    # outside jit; inside jit they are traced, so branch per-kind with where.
     for i in range(n):
         kind = sd.light_kind[i]
         gi = sd.light_idx[i]
         si = jnp.where(kind == D.GEOM_SPHERE, gi, 0)
         qi = jnp.where(kind == D.GEOM_QUAD, gi, 0)
         ti = jnp.where(kind == D.GEOM_TRI, gi, 0)
-        p_s = _sphere_light_pdf(sd, si, origin, direction, time)
-        p_q = _quad_light_pdf(sd, qi, origin, direction)
-        p_t = _tri_light_pdf(sd, ti, origin, direction)
+        p_s = _sphere_light_pdf(
+            tuple(sd.sph_c1[si]), tuple(sd.sph_c2[si]), sd.sph_r[si], o, d, time
+        )
+        p_q = _quad_light_pdf(
+            tuple(sd.quad_q[qi]),
+            tuple(sd.quad_u[qi]),
+            tuple(sd.quad_v[qi]),
+            tuple(sd.quad_w[qi]),
+            tuple(sd.quad_n[qi]),
+            sd.quad_d[qi],
+            o,
+            d,
+        )
+        p_t = _tri_light_pdf(
+            tuple(sd.tri_v0[ti]),
+            tuple(sd.tri_e1[ti]),
+            tuple(sd.tri_e2[ti]),
+            tuple(sd.tri_n0[ti]),
+            tuple(sd.tri_n1[ti]),
+            tuple(sd.tri_n2[ti]),
+            o,
+            d,
+        )
         total += jnp.where(
             kind == D.GEOM_SPHERE, p_s, jnp.where(kind == D.GEOM_QUAD, p_q, p_t)
         )

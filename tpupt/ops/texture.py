@@ -1,9 +1,12 @@
 """Branchless texture evaluation over the interned texture table.
 
 Replaces the reference's ``Arc<dyn Texture>`` virtual dispatch (texture.rs:7-9) with
-gather + select over SoA rows: checker nodes resolve to a child id by world-position
+row selection over SoA tables: checker nodes resolve to a child id by world-position
 parity (texture.rs:43-54), then solid/image leaves evaluate in one pass. Checker
 nesting is one level deep (all reference scenes use solid children).
+
+Small-table row fetches go through ops.gather.take_rows (one-hot matmul on the MXU);
+only the image-atlas lookup is a true per-lane gather.
 """
 
 from __future__ import annotations
@@ -11,21 +14,35 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..scene import data as D
+from .gather import take_rows
 
 
-def _image_lookup(sd, tid, u, v):
+def _tex_rows(sd, tid):
+    """Fetch [type, rgb0..2, inv_scale, child0, child1, img0..2] rows for tid [B]."""
+    table = jnp.concatenate(
+        [
+            sd.tex_type.astype(jnp.float32)[:, None],
+            sd.tex_rgb,
+            sd.tex_inv_scale[:, None],
+            sd.tex_child.astype(jnp.float32),
+            sd.tex_img.astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    return take_rows(table, tid)
+
+
+def _image_lookup(sd, offset, w, h, u, v):
     """Nearest-neighbor atlas lookup (texture.rs:73-91): u clamped, v flipped."""
-    img = sd.tex_img[tid]  # [...,3] (offset, w, h)
-    offset, w, h = img[..., 0], img[..., 1], img[..., 2]
     uu = jnp.clip(u, 0.0, 1.0)
     vv = 1.0 - jnp.clip(v, 0.0, 1.0)
     # Rust: (u * width) as u32 — truncation; clamp to the last texel to avoid the
     # u==1.0 edge (which would panic in the reference)
-    i = jnp.minimum(jnp.floor(uu * w.astype(jnp.float32)).astype(jnp.int32), w - 1)
-    j = jnp.minimum(jnp.floor(vv * h.astype(jnp.float32)).astype(jnp.int32), h - 1)
-    idx = offset + j * w + i
+    i = jnp.minimum(jnp.floor(uu * w).astype(jnp.int32), w.astype(jnp.int32) - 1)
+    j = jnp.minimum(jnp.floor(vv * h).astype(jnp.int32), h.astype(jnp.int32) - 1)
+    idx = offset.astype(jnp.int32) + j * w.astype(jnp.int32) + i
     # atlas stores Rgb8; scale at lookup like the reference (texture.rs:84-90)
-    return sd.atlas[idx].astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    return jnp.take(sd.atlas, idx, axis=0).astype(jnp.float32) * jnp.float32(1.0 / 255.0)
 
 
 def eval_texture(sd: "D.SceneData", tid, u, v, point):
@@ -35,18 +52,31 @@ def eval_texture(sd: "D.SceneData", tid, u, v, point):
     by the caller.
     """
     tid = jnp.maximum(tid, 0)
+    rows = _tex_rows(sd, tid)
+    ttype = rows[..., 0].astype(jnp.int32)
 
     # resolve checker -> child (texture.rs:44-53). Parity test matches Rust's
-    # `(x+y+z) % 2 == 0`: for odd sums Rust yields ±1 and jnp yields 1 — both != 0.
-    inv_scale = sd.tex_inv_scale[tid]
-    cell = jnp.floor(point * inv_scale[..., None]).astype(jnp.int32)
-    parity_even = (cell.sum(axis=-1) % 2) == 0
-    child = jnp.where(parity_even, sd.tex_child[tid, 0], sd.tex_child[tid, 1])
-    rid = jnp.where(sd.tex_type[tid] == D.TEX_CHECKER, jnp.maximum(child, 0), tid)
+    # `(x+y+z) % 2 == 0`: for odd sums Rust yields +-1 and jnp yields 1 — both != 0.
+    inv_scale = rows[..., 4]
+    px, py, pz = point[..., 0], point[..., 1], point[..., 2]
+    cell = (
+        jnp.floor(px * inv_scale).astype(jnp.int32)
+        + jnp.floor(py * inv_scale).astype(jnp.int32)
+        + jnp.floor(pz * inv_scale).astype(jnp.int32)
+    )
+    parity_even = (cell % 2) == 0
+    child = jnp.where(parity_even, rows[..., 5], rows[..., 6]).astype(jnp.int32)
+    is_checker = ttype == D.TEX_CHECKER
+    rid = jnp.where(is_checker, jnp.maximum(child, 0), tid)
 
-    solid = sd.tex_rgb[rid]
-    image = _image_lookup(sd, rid, u, v)
-    return jnp.where((sd.tex_type[rid] == D.TEX_IMAGE)[..., None], image, solid)
+    rrows = jnp.where(is_checker[..., None], _tex_rows(sd, jnp.maximum(child, 0)), rows)
+    rtype = rrows[..., 0].astype(jnp.int32)
+    solid = rrows[..., 1:4]
+    if sd.has_image_textures:
+        image = _image_lookup(sd, rrows[..., 7], rrows[..., 8], rrows[..., 9], u, v)
+        return jnp.where((rtype == D.TEX_IMAGE)[..., None], image, solid)
+    del rid
+    return solid
 
 
 def eval_scalar_texture(sd, tid, u, v, point):

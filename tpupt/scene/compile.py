@@ -177,15 +177,22 @@ def compile_scene(scene: "B.Scene") -> CompiledScene:
 
     f32 = np.float32
 
-    # ---- spheres (pad: negative radius never hits, sphere.rs:69-78) ----
-    sph = tables["sph"] or [(np.zeros(3), np.zeros(3), -1.0, 0)]
+    def _pad_to_block(rows, pad_row):
+        """Pad a table to the intersect sweep's block multiple (8, or 256 if large)."""
+        n = max(len(rows), 1)
+        blk = 8 if n <= 64 else 256
+        target = ((n + blk - 1) // blk) * blk
+        return list(rows) + [pad_row] * (target - len(rows))
+
+    # ---- spheres (pad: negative radius is the explicit miss sentinel) ----
+    sph = _pad_to_block(tables["sph"], (np.zeros(3), np.zeros(3), -1.0, 0))
     sph_c1 = np.stack([s[0] for s in sph]).astype(f32)
     sph_c2 = np.stack([s[1] for s in sph]).astype(f32)
     sph_r = np.array([s[2] for s in sph], dtype=f32)
     sph_mat = np.array([s[3] for s in sph], dtype=np.int32)
 
     # ---- quads (pad: zero u,v gives zero normal -> |nd| < eps reject, quad.rs:44) ----
-    quad = tables["quad"] or [(np.zeros(3), np.zeros(3), np.zeros(3), 0)]
+    quad = _pad_to_block(tables["quad"], (np.zeros(3), np.zeros(3), np.zeros(3), 0))
     quad_q = np.stack([q[0] for q in quad]).astype(np.float64)
     quad_u = np.stack([q[1] for q in quad]).astype(np.float64)
     quad_v = np.stack([q[2] for q in quad]).astype(np.float64)
@@ -197,9 +204,10 @@ def compile_scene(scene: "B.Scene") -> CompiledScene:
     quad_d = (normal * quad_q).sum(-1)  # quad.rs:24
 
     # ---- triangles (pad: zero edges -> |a| < 1e-8 parallel reject, mesh.rs:60) ----
-    tri = tables["tri"] or [
-        (np.zeros(3), np.zeros(3), np.zeros(3), (np.zeros(3),) * 3, (np.zeros(2),) * 3, False, 0)
-    ]
+    tri = _pad_to_block(
+        tables["tri"],
+        (np.zeros(3), np.zeros(3), np.zeros(3), (np.zeros(3),) * 3, (np.zeros(2),) * 3, False, 0),
+    )
     tri_v0 = np.stack([t[0] for t in tri]).astype(f32)
     tri_e1 = np.stack([t[1] - t[0] for t in tri]).astype(f32)
     tri_e2 = np.stack([t[2] - t[0] for t in tri]).astype(f32)
@@ -217,6 +225,23 @@ def compile_scene(scene: "B.Scene") -> CompiledScene:
     light_kind = np.array([l[0] for l in lights], dtype=np.int32)
     light_idx = np.array([l[1] for l in lights], dtype=np.int32)
     has_lights = len(tables["lights"]) > 0
+
+    # kind-uniform light geometry rows for per-lane sampling (see data.py)
+    light_geom = np.zeros((len(lights), 10), dtype=f32)
+    for i, (k, g) in enumerate(lights):
+        if k == D.GEOM_SPHERE:
+            light_geom[i, 0:3] = sph_c1[g]
+            light_geom[i, 3:6] = sph_c2[g]
+            light_geom[i, 6] = sph_r[g]
+        elif k == D.GEOM_QUAD:
+            light_geom[i, 0:3] = quad_q[g]
+            light_geom[i, 3:6] = quad_u[g]
+            light_geom[i, 6:9] = quad_v[g]
+        else:
+            light_geom[i, 0:3] = tri_v0[g]
+            light_geom[i, 3:6] = tri_e1[g]
+            light_geom[i, 6:9] = tri_e2[g]
+        light_geom[i, 9] = k
 
     # ---- materials ----
     mats = tables["mat_rows"] or [
@@ -268,6 +293,7 @@ def compile_scene(scene: "B.Scene") -> CompiledScene:
         tri_mat=jnp.asarray(tri_mat),
         light_kind=jnp.asarray(light_kind),
         light_idx=jnp.asarray(light_idx),
+        light_geom=jnp.asarray(light_geom),
         mat_type=jnp.asarray(mat_type),
         mat_tex=jnp.asarray(mat_tex),
         mat_rough_tex=jnp.asarray(mat_rough_tex),
@@ -281,5 +307,10 @@ def compile_scene(scene: "B.Scene") -> CompiledScene:
         atlas=jnp.asarray(atlas),
         env_color=jnp.asarray(env_color),
         env_tex=jnp.asarray(env_tex_id, dtype=jnp.int32),
+        # static specialization facts (part of the jit cache key)
+        has_normal_maps=bool((mat_normal_tex >= 0).any()),
+        mat_types=tuple(sorted(set(int(t) for t in mat_type))),
+        has_image_textures=bool((tex_type == D.TEX_IMAGE).any()) or env_tex_id >= 0,
+        env_is_map=env_tex_id >= 0,
     )
     return CompiledScene(data, has_lights)

@@ -59,13 +59,21 @@ P_CLEARCOAT_GLOSS = 10
 N_PARAMS = 11
 
 
+_STATIC_FIELDS = ("has_normal_maps", "mat_types", "has_image_textures", "env_is_map")
+
+
 def _dataclass_pytree(cls):
     cls = dataclasses.dataclass(frozen=True)(cls)
     fields = [f.name for f in dataclasses.fields(cls)]
+    dyn = [n for n in fields if n not in _STATIC_FIELDS]
+    static = [n for n in fields if n in _STATIC_FIELDS]
     jax.tree_util.register_pytree_node(
         cls,
-        lambda s: ([getattr(s, n) for n in fields], None),
-        lambda _, xs: cls(**dict(zip(fields, xs))),
+        lambda s: (
+            [getattr(s, n) for n in dyn],
+            tuple(getattr(s, n) for n in static),
+        ),
+        lambda aux, xs: cls(**dict(zip(dyn, xs)), **dict(zip(static, aux))),
     )
     return cls
 
@@ -103,6 +111,11 @@ class SceneData:
     # lights: rows referencing geometry (world.rs lights list)
     light_kind: jnp.ndarray  # [L] int32 GEOM_*
     light_idx: jnp.ndarray  # [L] int32 index into that geometry table
+    # kind-uniform per-light geometry for sampling: [L,10] =
+    #   sphere: c1(3), c2(3), radius, 0, 0, kind
+    #   quad:   q(3), u(3), v(3), kind
+    #   tri:    v0(3), e1(3), e2(3), kind
+    light_geom: jnp.ndarray
 
     # materials
     mat_type: jnp.ndarray  # [M] int32 MAT_*
@@ -124,6 +137,13 @@ class SceneData:
     # environment (camera.rs:16-19,140-151)
     env_color: jnp.ndarray  # [3]
     env_tex: jnp.ndarray  # [] int32 texture id, -1 = constant color
+
+    # static (hashable, trace-time) facts — part of the jit cache key, enabling
+    # per-scene kernel specialization (dead material branches compile out)
+    has_normal_maps: bool = False
+    mat_types: tuple = ()  # sorted tuple of MAT_* present in the scene
+    has_image_textures: bool = False
+    env_is_map: bool = False
 
     @property
     def n_spheres(self):
