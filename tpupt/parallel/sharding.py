@@ -22,9 +22,24 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 try:
-    from jax import shard_map  # jax >= 0.8
+    from jax import shard_map as _shard_map  # jax >= 0.8
 except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+import inspect
+
+# jax 0.9 renamed check_rep -> check_vma; accept either runtime.
+_CHECK_KW = (
+    "check_vma" if "check_vma" in inspect.signature(_shard_map).parameters else "check_rep"
+)
+
+
+def shard_map(f=None, **kw):
+    if "check_rep" in kw:
+        kw[_CHECK_KW] = kw.pop("check_rep")
+    if f is None:
+        return _shard_map(**kw)
+    return _shard_map(f, **kw)
 
 from ..render.integrator import trace_radiance
 
@@ -32,6 +47,12 @@ from ..render.integrator import trace_radiance
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"requested a {n_devices}-device mesh but only {len(devs)} device(s) "
+                "are visible (set XLA_FLAGS=--xla_force_host_platform_device_count and "
+                "jax_platforms=cpu before backend init to emulate a pod)"
+            )
         devs = devs[:n_devices]
     return Mesh(devs, ("samples",))
 
