@@ -1,0 +1,182 @@
+"""Differentiable-pass checks: detached-sampling gradients vs finite differences.
+
+The reference renderer has no backward pass; gradients are a new-design capability
+(BASELINE.json: "pixel-grad max-err vs finite differences"). The estimator is seeded
+and counter-based, so for parameters that do NOT alter the sampling distributions
+(albedo, emission, env color) the seeded estimate is a smooth closed-form function of
+the parameter and central finite differences of the *same seed* must match the
+detached gradient almost exactly. For parameters that do steer sampling (roughness),
+the detached gradient equals the FD of the *expected* image only — checked
+statistically at high spp.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpupt.render.camera import Camera
+from tpupt.render.diff import init_params, make_pixel_fn, render_grads, trace_radiance_scan
+from tpupt.render.integrator import trace_radiance
+from tpupt.scene.builder import Diffuse, Light, Metal, Scene
+from tpupt.scene.data import MAT_LIGHT, P_ROUGHNESS
+
+
+def _cam(width=8, depth=4):
+    return Camera(
+        aspect_ratio=1.0, image_width=width, samples_per_pixel=4, max_depth=depth,
+        vfov=40.0, look_from=(0.0, 1.0, 3.0), look_at=(0.0, 1.0, 0.0),
+        blur_strength=0.5, focal_length=3.0, defocus_angle=0.0,
+    )
+
+
+def _box_scene(albedo=(0.73, 0.6, 0.5), emit=(6.0, 5.0, 4.0)):
+    """Diffuse floor + sphere + quad area light overhead; env black."""
+    s = Scene()
+    floor = Diffuse(albedo)
+    s.add_quad((-4.0, 0.0, -4.0), (8.0, 0.0, 0.0), (0.0, 0.0, 8.0), floor)
+    s.add_sphere(0.7, (0.0, 0.7, 0.0), floor)
+    s.add_quad((-1.0, 3.0, -1.0), (2.0, 0.0, 0.0), (0.0, 0.0, 2.0), Light(emit), light=True)
+    s.environment = (0.0, 0.0, 0.0)
+    return s
+
+
+def _pixels(compiled, camera, spp):
+    w = camera.image_width
+    npix = w * camera.image_height
+    pix = np.repeat(np.arange(npix, dtype=np.int32), spp)
+    samp = np.tile(np.arange(spp, dtype=np.int32), npix)
+    return jnp.asarray(pix), jnp.asarray(pix // w), jnp.asarray(pix % w), jnp.asarray(samp)
+
+
+def test_scan_matches_while_forward():
+    """The scan (differentiable) integrator must reproduce the while-loop wavefront
+    in the forward direction — same estimator, same RNG stream. (Tolerance is float32
+    re-association noise: the two programs fuse differently under XLA.)"""
+    s = _box_scene()
+    cam = _cam(width=8, depth=12)
+    compiled = s.compile()
+    c = cam.init()
+    pix, rows, cols, samp = _pixels(compiled, cam, spp=2)
+    seed = jnp.uint32(3)
+
+    r_while, _ = jax.jit(
+        lambda: trace_radiance(compiled.data, c, pix, rows, cols, samp, seed, 12, True)
+    )()
+    r_scan = jax.jit(
+        lambda: trace_radiance_scan(
+            compiled.data, c, pix, rows, cols, samp, seed, 12, True
+        )
+    )()
+    np.testing.assert_allclose(
+        np.asarray(r_while), np.asarray(r_scan), rtol=1e-4, atol=1e-5
+    )
+
+
+def _fd_check(scene_fn, param_path, h, rtol, atol=1e-4, depth=4, spp=4, width=6):
+    """Central-difference check of d(sum image)/d(theta) for a scalar coordinate.
+
+    param_path: (field, index_tuple) into the DIFF_FIELDS pytree.
+    """
+    cam = _cam(width=width, depth=depth)
+    compiled = scene_fn().compile()
+    fn = make_pixel_fn(compiled, cam)
+    pix, rows, cols, samp = _pixels(compiled, cam, spp)
+    args = (pix, rows, cols, samp, jnp.uint32(0))
+    params = init_params(compiled.data)
+    field, idx = param_path
+
+    loss = jax.jit(lambda p: fn(p, *args).sum())
+    g = jax.jit(jax.grad(loss))(params)[field][idx]
+
+    def at(v):
+        p = dict(params)
+        p[field] = params[field].at[idx].set(v)
+        return float(loss(p))
+
+    v0 = float(params[field][idx])
+    fd = (at(v0 + h) - at(v0 - h)) / (2.0 * h)
+    np.testing.assert_allclose(float(g), fd, rtol=rtol, atol=atol)
+    return float(g), fd
+
+
+def _light_tex(compiled):
+    mt = np.asarray(compiled.data.mat_type)
+    (light_ids,) = np.nonzero(mt == MAT_LIGHT)
+    return int(np.asarray(compiled.data.mat_tex)[light_ids[0]])
+
+
+def test_grad_emission_linear():
+    """Radiance is linear in light emission -> FD matches the gradient exactly."""
+    cam = _cam()
+    compiled = _box_scene().compile()
+    tex = _light_tex(compiled)
+    g, fd = _fd_check(_box_scene, ("tex_rgb", (tex, 1)), h=0.5, rtol=1e-3)
+    assert g > 0.0  # brighter light -> brighter image
+
+
+def test_grad_albedo_polynomial():
+    """Cosine sampling does not depend on albedo; at depth<=4 the seeded estimate is
+    a low-degree polynomial in albedo and central FD matches closely."""
+    g, fd = _fd_check(_box_scene, ("tex_rgb", (0, 0)), h=5e-3, rtol=2e-2)
+    assert g > 0.0
+
+
+def test_grad_env_color_linear():
+    def scene():
+        s = _box_scene()
+        s.environment = (0.4, 0.5, 0.6)
+        return s
+
+    _fd_check(scene, ("env_color", (2,)), h=0.1, rtol=1e-3)
+
+
+def test_grad_zero_for_absent_channel():
+    """A black pixel block (light off) has zero gradient w.r.t. albedo."""
+    cam = _cam()
+    compiled = _box_scene(emit=(0.0, 0.0, 0.0)).compile()
+    pixel_ids = np.arange(4, dtype=np.int32)
+    radiance, grads = render_grads(compiled, cam, pixel_ids, spp=2, seed=0)
+    assert float(jnp.abs(grads["tex_rgb"][0]).sum()) == 0.0
+    assert np.asarray(radiance).max() == 0.0
+
+
+def test_grad_roughness_statistical():
+    """Roughness steers VNDF sampling, so the detached gradient only equals the FD
+    of the expected image: compare at moderate spp with a loose tolerance."""
+
+    def scene():
+        s = Scene()
+        s.add_quad((-4.0, 0.0, -4.0), (8.0, 0.0, 0.0), (0.0, 0.0, 8.0), Metal((0.9, 0.9, 0.9), 0.4))
+        s.add_quad((-1.0, 3.0, -1.0), (2.0, 0.0, 0.0), (0.0, 0.0, 2.0), Light((5.0, 5.0, 5.0)), light=True)
+        s.environment = (0.1, 0.1, 0.1)
+        return s
+
+    cam = _cam(width=6, depth=3)
+    compiled = scene().compile()
+    fn = make_pixel_fn(compiled, cam)
+    pix, rows, cols, samp = _pixels(compiled, cam, spp=256)
+    args = (pix, rows, cols, samp, jnp.uint32(0))
+    params = init_params(compiled.data)
+
+    mt = np.asarray(compiled.data.mat_type)
+    metal_id = int(np.nonzero(mt != MAT_LIGHT)[0][0])
+    idx = (metal_id, P_ROUGHNESS)
+
+    loss = jax.jit(lambda p: fn(p, *args).sum())
+    g = float(jax.jit(jax.grad(loss))(params)["mat_params"][idx])
+
+    h = 0.05
+    v0 = float(params["mat_params"][idx])
+
+    def at(v):
+        p = dict(params)
+        p["mat_params"] = params["mat_params"].at[idx].set(v)
+        return float(loss(p))
+
+    fd = (at(v0 + h) - at(v0 - h)) / (2.0 * h)
+    # detached grad estimates d E[image]; FD of one seed at 256 spp is itself noisy
+    assert np.sign(g) == np.sign(fd)
+    np.testing.assert_allclose(g, fd, rtol=0.5)

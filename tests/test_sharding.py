@@ -62,3 +62,29 @@ def test_sharded_matches_renderer():
 
     _, mean_host, _ = render_image(compiled, cam, rays_per_launch=1 << 12, progress=False)
     np.testing.assert_allclose(mean_sharded, mean_host, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_grads_match_single_device():
+    """Backward pass under shard_map: grads all-reduced over the mesh must match the
+    single-device detached-sampling gradients."""
+    import jax
+    from tpupt.parallel.sharding import make_mesh, render_grads_sharded
+    from tpupt.render.diff import render_grads
+
+    from tpupt.scenes import cornell_box_scene
+
+    scene, cam = cornell_box_scene(8, 8)
+    cam.max_depth = 6
+    compiled = scene.compile()
+    ids = np.arange(16, dtype=np.int32)
+    rows, cols = ids // 8, ids % 8
+
+    film8, g8 = render_grads_sharded(compiled, cam, ids, rows, cols, spp=8, mesh=make_mesh(8))
+    radiance, g1 = render_grads(compiled, cam, ids, spp=8, seed=0)
+
+    np.testing.assert_allclose(np.asarray(film8), np.asarray(radiance), rtol=1e-4, atol=1e-5)
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g8[k]), np.asarray(g1[k]), rtol=2e-4, atol=1e-5
+        )
+    assert float(jnp.abs(g1["mat_params"]).sum()) > 0.0

@@ -180,7 +180,9 @@ def where3(m, a, b):
 def normalize3(a, eps=0.0):
     n2 = dot3(a, a)
     if eps:
-        n2 = jnp.maximum(n2, eps)
+        # floor at 1e-24: rsqrt's local derivative at smaller floors overflows f32
+        # and mints 0*inf = NaN in reverse-mode AD on masked lanes (render/diff.py)
+        n2 = jnp.maximum(n2, max(eps, 1e-24))
     inv = 1.0 / jnp.sqrt(n2)
     return scale3(a, inv)
 
@@ -195,7 +197,7 @@ def refract3(i, n, eta):
     """glam/GLSL refract; 0 on TIR. i normalized, eta per-lane [B]."""
     ni = dot3(n, i)
     k = 1.0 - eta * eta * (1.0 - ni * ni)
-    coef = eta * ni + jnp.sqrt(jnp.maximum(k, 0.0))
+    coef = eta * ni + jnp.sqrt(jnp.maximum(k, 1e-20))  # floor: see normalize3 note
     ok = k >= 0.0
     return (
         jnp.where(ok, eta * i[0] - coef * n[0], 0.0),
@@ -208,7 +210,9 @@ def _quat_to_z3(n):
     x = n[1]
     y = -n[0]
     w = 1.0 + n[2]
-    norm = jnp.sqrt(x * x + y * y + w * w)
+    # sqrt floored: n == (0,0,-1) hits norm == 0 exactly; the degenerate `where`
+    # masks the value but not reverse-mode AD's 0 * inf (render/diff.py)
+    norm = jnp.sqrt(jnp.maximum(x * x + y * y + w * w, 1e-24))
     degenerate = n[2] < -0.99999
     safe = jnp.maximum(norm, 1e-20)
     qx = jnp.where(degenerate, 1.0, x / safe)

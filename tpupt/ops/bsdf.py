@@ -100,7 +100,13 @@ def make_shade(sd: "D.SceneData", mat_id, u, v, point, ng, ns, front) -> Shade:
 
 
 def _etas(sh: Shade, ior):
-    """(eta_i, eta_o) by front_face (glass.rs:73-77, principled.rs:125-129)."""
+    """(eta_i, eta_o) by front_face (glass.rs:73-77, principled.rs:125-129).
+
+    ior floored at 0.01: branchless dispatch evaluates the glass family on every
+    lane, and non-glass material rows carry P_IOR = 0 — eta ratios of inf/inf mint
+    NaNs that survive the type-select masking in reverse-mode AD (render/diff.py).
+    """
+    ior = jnp.maximum(ior, 0.01)
     eta_i = jnp.where(sh.front, 1.0, ior)
     eta_o = jnp.where(sh.front, ior, 1.0)
     return eta_i, eta_o
@@ -128,7 +134,7 @@ def _vndf_pdf_h(v, h, roughness):
         S.ggx_G1(v, roughness)
         * jnp.abs(la.dot3(v, h))
         * S.ggx_D(h, roughness)
-        / jnp.maximum(jnp.abs(v[2]), 1e-20)
+        / jnp.maximum(jnp.abs(v[2]), 1e-12)
     )
 
 
@@ -170,7 +176,7 @@ def _metal_pdf(ns, rough, v_world, l_world):
     v = la.to_local3(ns, v_world)
     l = la.to_local3(ns, l_world)
     h = la.normalize3(la.add3(v, l), eps=1e-30)
-    jac = 1.0 / jnp.maximum(4.0 * jnp.abs(la.dot3(l, h)), 1e-20)
+    jac = 1.0 / jnp.maximum(4.0 * jnp.abs(la.dot3(l, h)), 1e-15)
     return _vndf_pdf_h(v, h, rough) * jac
 
 
@@ -183,7 +189,7 @@ def _metal_eval(base, ns, rough, v_world, l_world):
     f = S.fresnel_schlick3(base, la.dot3(l, h))
     lz = jnp.abs(l[2])
     vz = jnp.abs(v[2])
-    k = lz * (g * d / jnp.maximum(4.0 * lz * vz, 1e-20))
+    k = lz * (g * d / jnp.maximum(4.0 * lz * vz, 1e-15))
     return (k * f[0], k * f[1], k * f[2])
 
 
@@ -221,17 +227,17 @@ def _glass_pdf_eval(sh: Shade, ns, rough, v_world, l_world):
     refr_denom = (eta_i * v_dot_h + eta_o * l_dot_h) ** 2
 
     pdf_h = _vndf_pdf_h(v, h, rough)
-    jac_refl = f / jnp.maximum(4.0 * jnp.abs(l_dot_h), 1e-20)
-    jac_refr = (1.0 - f) * (eta_o * eta_o * jnp.abs(l_dot_h)) / jnp.maximum(refr_denom, 1e-20)
+    jac_refl = f / jnp.maximum(4.0 * jnp.abs(l_dot_h), 1e-15)
+    jac_refr = (1.0 - f) * (eta_o * eta_o * jnp.abs(l_dot_h)) / jnp.maximum(refr_denom, 1e-15)
     pdf = pdf_h * jnp.where(reflect, jac_refl, jac_refr)
 
     d = S.ggx_D(h, rough)
     g = S.ggx_G(v, l, rough)
     lz = jnp.abs(l[2])
     vz = jnp.abs(v[2])
-    fac_refl = f * g * d / jnp.maximum(4.0 * lz * vz, 1e-20)
-    term1 = jnp.abs((l_dot_h * v_dot_h) / jnp.maximum(jnp.abs(l[2] * v[2]), 1e-20))
-    term2 = (eta_o * eta_o) / jnp.maximum(refr_denom, 1e-20)
+    fac_refl = f * g * d / jnp.maximum(4.0 * lz * vz, 1e-15)
+    term1 = jnp.abs((l_dot_h * v_dot_h) / jnp.maximum(jnp.abs(l[2] * v[2]), 1e-15))
+    term2 = (eta_o * eta_o) / jnp.maximum(refr_denom, 1e-15)
     fac_refr = term1 * term2 * (1.0 - f) * g * d
     ev = jnp.where(reflect, fac_refl, fac_refr) * lz
     return pdf, ev  # eval is achromatic: Vec3::splat (glass.rs:153,160)
@@ -315,7 +321,7 @@ def _principled_pdf(sh: Shade, n, v_world, l_world):
 
     l_dot_h = la.dot3(l, h)
     v_dot_h = la.dot3(v, h)
-    jac_refl = 1.0 / jnp.maximum(4.0 * jnp.abs(l_dot_h), 1e-20)
+    jac_refl = 1.0 / jnp.maximum(4.0 * jnp.abs(l_dot_h), 1e-15)
 
     pdf_diffuse = jnp.abs(l[2]) / PI
     pdf_spec = _vndf_pdf_h(v, h, roughness) * jac_refl
@@ -325,7 +331,7 @@ def _principled_pdf(sh: Shade, n, v_world, l_world):
     jac_glass = jnp.where(
         reflect,
         f * jac_refl,
-        (1.0 - f) * (eta_o * eta_o * jnp.abs(l_dot_h)) / jnp.maximum(refr_denom, 1e-20),
+        (1.0 - f) * (eta_o * eta_o * jnp.abs(l_dot_h)) / jnp.maximum(refr_denom, 1e-15),
     )
     pdf_glass = _vndf_pdf_h(v, h, roughness) * jac_glass
 
@@ -335,7 +341,7 @@ def _principled_pdf(sh: Shade, n, v_world, l_world):
         S.ggx_G1(v, quarter)
         * jnp.abs(v_dot_h)
         * S.gtr1_D(jnp.abs(l_dot_h), _principled_alpha_g(params))
-        / jnp.maximum(jnp.abs(v[2]), 1e-20)
+        / jnp.maximum(jnp.abs(v[2]), 1e-12)
     )
     pdf_cc = pdf_cc_h * jac_refl
 
@@ -371,7 +377,9 @@ def _principled_eval(sh: Shade, n, v_world, l_world):
     f_d = (1.0 - 0.5 * fl) * (1.0 - 0.5 * fv)
     fss90 = 0.5 * rr
     f_ss = lerp(1.0, fss90, fl) * lerp(1.0, fss90, fv)
-    ss = 1.25 * (f_ss * (1.0 / jnp.where(lz + vz != 0.0, lz + vz, 1e-20) - 0.5) + 0.5)
+    svz = lz + vz
+    svz = jnp.where(jnp.abs(svz) > 1e-12, svz, jnp.where(svz < 0.0, -1e-12, 1e-12))
+    ss = 1.25 * (f_ss * (1.0 / svz - 0.5) + 0.5)
     subsurface = params[..., D.P_SUBSURFACE]
     k_diff = lerp(f_d + f_retro, ss, subsurface) / PI
     c_tint = S.tint3(base)
@@ -393,15 +401,17 @@ def _principled_eval(sh: Shade, n, v_world, l_world):
     fresnel = tuple(lerp(diel_f, metal_f[j], metallic) for j in range(3))
     d_ggx = S.ggx_D(h, roughness)
     g_ggx = S.ggx_G(v, l, roughness)
-    denom4 = jnp.maximum(4.0 * jnp.abs(lz) * jnp.abs(vz), 1e-20)
+    denom4 = jnp.maximum(4.0 * jnp.abs(lz) * jnp.abs(vz), 1e-15)
     k_spec = g_ggx * d_ggx / denom4
     spec_rgb = tuple(fresnel[j] * k_spec for j in range(3))
 
     # ---- glass (principled.rs:226-246), achromatic ----
     refr_denom = (eta_i * v_dot_h + eta_o * l_dot_h) ** 2
     fac_refl = diel_f * g_ggx * d_ggx / denom4
-    term1 = jnp.abs((l_dot_h * v_dot_h) / jnp.where(lz * vz != 0.0, lz * vz, 1e-20))
-    term2 = (eta_o * eta_o) / jnp.maximum(refr_denom, 1e-20)
+    pvz = lz * vz
+    pvz = jnp.where(jnp.abs(pvz) > 1e-12, pvz, jnp.where(pvz < 0.0, -1e-12, 1e-12))
+    term1 = jnp.abs((l_dot_h * v_dot_h) / pvz)
+    term2 = (eta_o * eta_o) / jnp.maximum(refr_denom, 1e-15)
     fac_refr = term1 * term2 * (1.0 - diel_f) * g_ggx * d_ggx
     glass_k = jnp.where(reflect, fac_refl, fac_refr)
 

@@ -130,7 +130,7 @@ def _sphere_block(sd, i, blk, ox, oy, oz, dx, dy, dz, time, tmin, tmax):
     l2 = lx * lx + ly * ly + lz * lz
     r2 = r * r
     d2 = l2 - s * s
-    q = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
+    q = jnp.sqrt(jnp.maximum(r2 - d2, 1e-20))  # floor: grad-safe (render/diff.py)
     t = jnp.where(l2 > r2, s - q, s + q)
     miss = ((s < 0.0) & (l2 > r2)) | (d2 > r2) | (t <= tmin) | (t >= tmax) | (r < 0.0)
     return jnp.where(miss, BIG, t)
@@ -243,7 +243,14 @@ def closest_hit(sd: "D.SceneData", o, d, time, tmin, tmax) -> Hit:
 
 
 def _make_hit(sd, o, d, time, t, kind, idx, valid) -> Hit:
-    """Reconstruct hit attributes at the winning primitive (HitInfo::new)."""
+    """Reconstruct hit attributes at the winning primitive (HitInfo::new).
+
+    Miss lanes come in with t = BIG (3e38); computing attributes there overflows to
+    inf and mints NaNs that, although masked in the forward pass, poison reverse-mode
+    AD (0-cotangent * NaN, render/diff.py). Clamp t to 0 on invalid lanes — every
+    downstream consumer already masks by `valid`.
+    """
+    t = jnp.where(valid, t, 0.0)
     ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
     dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
     px = ox + t * dx
@@ -262,7 +269,7 @@ def _make_hit(sd, o, d, time, t, kind, idx, valid) -> Hit:
     cy = c1y + (c2y - c1y) * time
     cz = c1z + (c2z - c1z) * time
     nsx, nsy, nsz = px - cx, py - cy, pz - cz
-    inv = 1.0 / jnp.sqrt(jnp.maximum(nsx * nsx + nsy * nsy + nsz * nsz, 1e-30))
+    inv = 1.0 / jnp.sqrt(jnp.maximum(nsx * nsx + nsy * nsy + nsz * nsz, 1e-24))
     nsx, nsy, nsz = nsx * inv, nsy * inv, nsz * inv
     theta = jnp.arccos(jnp.clip(-nsy, -1.0, 1.0))
     phi = jnp.arctan2(-nsz, nsx) + jnp.pi
@@ -299,7 +306,7 @@ def _make_hit(sd, o, d, time, t, kind, idx, valid) -> Hit:
     hy = dz * e2x - dx * e2z
     hz = dx * e2y - dy * e2x
     a = e1x * hx + e1y * hy + e1z * hz
-    f = 1.0 / jnp.where(jnp.abs(a) < 1e-30, 1.0, a)
+    f = 1.0 / jnp.where(jnp.abs(a) < 1e-12, 1.0, a)
     sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
     bu = f * (sx * hx + sy * hy + sz * hz)
     qx2 = sy * e1z - sz * e1y
@@ -327,7 +334,7 @@ def _make_hit(sd, o, d, time, t, kind, idx, valid) -> Hit:
     ntx = n0x * bw + n1x * bu + n2x * bv
     nty = n0y * bw + n1y * bu + n2y * bv
     ntz = n0z * bw + n1z * bu + n2z * bv
-    invt = 1.0 / jnp.sqrt(jnp.maximum(ntx * ntx + nty * nty + ntz * ntz, 1e-30))
+    invt = 1.0 / jnp.sqrt(jnp.maximum(ntx * ntx + nty * nty + ntz * ntz, 1e-24))
     ntx, nty, ntz = ntx * invt, nty * invt, ntz * invt
     u_tri = jnp.where(has_uv, uv0u * bw + uv1u * bu + uv2u * bv, bu)
     v_tri = jnp.where(has_uv, uv0v * bw + uv1v * bu + uv2v * bv, bv)
@@ -344,7 +351,7 @@ def _make_hit(sd, o, d, time, t, kind, idx, valid) -> Hit:
 
     # ---- HitInfo::new (hit_info.rs:25-43): front-face flip + normal mapping ----
     front = dx * nrx + dy * nry + dz * nrz < 0.0
-    invn = 1.0 / jnp.sqrt(jnp.maximum(nrx * nrx + nry * nry + nrz * nrz, 1e-30))
+    invn = 1.0 / jnp.sqrt(jnp.maximum(nrx * nrx + nry * nry + nrz * nrz, 1e-24))
     sign = jnp.where(front, invn, -invn)
     ngx, ngy, ngz = nrx * sign, nry * sign, nrz * sign
 
@@ -363,7 +370,7 @@ def _make_hit(sd, o, d, time, t, kind, idx, valid) -> Hit:
         tx = ngy * 0.0 - ngz * axy
         ty = ngz * axx - ngx * 0.0
         tz = ngx * axy - ngy * axx
-        invtg = 1.0 / jnp.sqrt(jnp.maximum(tx * tx + ty * ty + tz * tz, 1e-30))
+        invtg = 1.0 / jnp.sqrt(jnp.maximum(tx * tx + ty * ty + tz * tz, 1e-24))
         tx, ty, tz = tx * invtg, ty * invtg, tz * invtg
         bx = ngy * tz - ngz * ty
         by = ngz * tx - ngx * tz
@@ -372,7 +379,7 @@ def _make_hit(sd, o, d, time, t, kind, idx, valid) -> Hit:
         nsx2 = mx * tx + my * bx + mz * ngx
         nsy2 = mx * ty + my * by + mz * ngy
         nsz2 = mx * tz + my * bz + mz * ngz
-        invm = 1.0 / jnp.sqrt(jnp.maximum(nsx2 * nsx2 + nsy2 * nsy2 + nsz2 * nsz2, 1e-30))
+        invm = 1.0 / jnp.sqrt(jnp.maximum(nsx2 * nsx2 + nsy2 * nsy2 + nsz2 * nsz2, 1e-24))
         ns_mapped = jnp.stack([nsx2 * invm, nsy2 * invm, nsz2 * invm], axis=-1)
         ns_arr = jnp.where(has_nm[..., None], ns_mapped, ng)
     else:

@@ -117,14 +117,22 @@ def gtr1_sample_microfacet_normal(alpha, e1, e2):
 
 
 def fresnel_dielectric3(w, h, eta_i, eta_o):
-    """Exact dielectric Fresnel (bsdf/mod.rs:77-88); 1.0 on TIR (g^2 < 0)."""
+    """Exact dielectric Fresnel (bsdf/mod.rs:77-88); 1.0 on TIR (g^2 < 0).
+
+    Grad-safety (render/diff.py): sqrt arg floored at 1e-20 (sqrt(0) has an infinite
+    local derivative, and 0-cotangent * inf = NaN poisons reverse-mode AD even on
+    masked lanes) and the x denominator floored in magnitude (it crosses 0 at the
+    TIR boundary with c=1). Both floors only bind on lanes the `where` masks out.
+    """
     c = jnp.abs(la.dot3(w, h))
     g_squared = (eta_o / eta_i) ** 2 - 1.0 + c * c
-    g = jnp.sqrt(jnp.maximum(g_squared, 0.0))
+    g = jnp.sqrt(jnp.maximum(g_squared, 1e-20))
     gmc = g - c
     gpc = g + c
-    x = (c * gpc - 1.0) / (c * gmc + 1.0)
-    f = 0.5 * (gmc * gmc) / (gpc * gpc) * (1.0 + x * x)
+    den = c * gmc + 1.0
+    den = jnp.where(jnp.abs(den) > 1e-12, den, 1e-12)
+    x = (c * gpc - 1.0) / den
+    f = 0.5 * (gmc * gmc) / jnp.maximum(gpc * gpc, 1e-18) * (1.0 + x * x)
     return jnp.where(g_squared < 0.0, 1.0, f)
 
 

@@ -122,3 +122,83 @@ def render_block_sharded(
         jnp.uint32(seed),
     )
     return film, rays
+
+
+def sharded_grad_step(mesh: Mesh, max_depth: int, has_lights: bool):
+    """Build a jitted SPMD forward+backward step: per-device sample shards, grads
+    all-reduced over the mesh.
+
+    This is the backward analog of sharded_sample_step: every device traces its own
+    k samples of the pixel block with the detached-sampling scan integrator, computes
+    the VJP of its shard's film sum w.r.t. the differentiable parameter pytree
+    (mat_params / tex_rgb / env_color — render/diff.py), and the parameter gradients
+    ride one `psum` across the mesh (ICI on real hardware) together with the film.
+    The reference has no equivalent: its only reduction is rayon's implicit join
+    (camera.rs:102).
+    """
+    from ..render.diff import apply_params, trace_radiance_scan
+
+    def build(k_per_device: int):
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+        def sharded(params, sd, cam, pixel_ids, rows, cols, sample0, seed):
+            ax = jax.lax.axis_index("samples")
+            pb = pixel_ids.shape[0]
+            pix = jnp.tile(pixel_ids, k_per_device)
+            local_samples = sample0 + ax * k_per_device + jnp.repeat(
+                jnp.arange(k_per_device, dtype=jnp.int32), pb
+            )
+            rr = jnp.tile(rows, k_per_device)
+            cc = jnp.tile(cols, k_per_device)
+
+            def f(p):
+                radiance = trace_radiance_scan(
+                    apply_params(sd, p), cam, pix, rr, cc, local_samples, seed,
+                    max_depth, has_lights,
+                )
+                return radiance.reshape(k_per_device, pb, 3).sum(axis=0)
+
+            film, vjp = jax.vjp(f, params)
+            (grads,) = vjp(jnp.ones_like(film))
+            film = jax.lax.psum(film, "samples")
+            grads = jax.lax.psum(grads, "samples")
+            return film, grads
+
+        return jax.jit(sharded)
+
+    return build
+
+
+def render_grads_sharded(
+    compiled, camera, pixel_ids, rows, cols, spp: int, seed: int = 0, mesh: Mesh | None = None
+):
+    """Film sums + parameter grads for a pixel block, sample axis sharded over the mesh.
+
+    Gradient semantics match render_grads with cotangent=ones scaled by spp: returns
+    (film_mean [pb,3], grads of d(sum_pixels mean_sample radiance)/d params).
+    """
+    from ..render.diff import init_params
+
+    mesh = mesh or make_mesh()
+    n = mesh.devices.size
+    assert spp % n == 0, f"spp {spp} must divide over {n} devices"
+    k = spp // n
+    cam = camera.init()
+    step = sharded_grad_step(mesh, camera.max_depth, compiled.has_lights)(k)
+    film, grads = step(
+        init_params(compiled.data),
+        compiled.data,
+        cam,
+        jnp.asarray(pixel_ids, jnp.int32),
+        jnp.asarray(rows, jnp.int32),
+        jnp.asarray(cols, jnp.int32),
+        jnp.int32(0),
+        jnp.uint32(seed),
+    )
+    inv = 1.0 / spp
+    return film * inv, jax.tree.map(lambda g: g * inv, grads)

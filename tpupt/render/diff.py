@@ -1,0 +1,161 @@
+"""Differentiable rendering: detached-sampling reverse-mode pass over the path tracer.
+
+The reference renderer is forward-only (camera.rs:79-126 renders to a PNG and stops).
+Differentiability is a new-design capability of this framework (BASELINE.json north
+star): pixel gradients w.r.t. the Disney BSDF parameter table, texture colors, and the
+environment, computed by reverse-mode AD through the same estimator the forward pass
+uses.
+
+Design (Mitsuba-3-style *detached* estimator):
+
+- The bounce loop runs as a fixed-trip `lax.scan` over max_depth (reverse-mode AD
+  cannot differentiate `lax.while_loop`); dead lanes are masked, exactly like the
+  forward wavefront. The per-bounce body is `jax.checkpoint`-ed so backward memory
+  stays O(state), not O(depth * intermediates) — rematerialization trades FLOPs for
+  HBM, the right TPU trade.
+- Every sampling-derived quantity (sampled directions, mixture pdf, RR survival
+  probability) is stop_gradient-ed inside `bounce_step(detach=True)`
+  (render/integrator.py). Gradients flow only through integrand factors: bsdf eval,
+  emission, environment. Unbiased: with the pdf detached, E[d(f)/p] = d E[f/p].
+- Discrete decisions (lobe pick, light pick, RR coin, reflect/refract coin) are
+  RNG-driven comparisons — naturally constant under AD; the *same* counter-based RNG
+  stream as the forward pass means forward value == trace_radiance value bit-for-bit
+  (modulo the zero-pdf guard, which kills a lane instead of minting reference-style
+  NaNs, camera.rs:216 — NaNs would poison reverse-mode AD through `where`).
+
+What is differentiable today: `mat_params` (the Disney 11-vector per material — SURVEY
+section 2.1 principled.rs:23-42), `tex_rgb` (solid texture colors, which carry diffuse/
+metal/glass/principled base colors AND light emission), `env_color`, and `env_img`
+(the f32 HDR environment map, ops/envmap.py). Image-texture gathers read the u8 atlas
+(texture.rs:63-68 parity) and are not differentiated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .integrator import bounce_step
+
+
+# SceneData leaves exposed as differentiable parameters.
+DIFF_FIELDS = ("mat_params", "tex_rgb", "env_color")
+
+
+def init_params(sd) -> dict:
+    """Extract the differentiable parameter pytree from a SceneData."""
+    return {name: getattr(sd, name) for name in DIFF_FIELDS}
+
+
+def apply_params(sd, params: dict):
+    """Return SceneData with the differentiable leaves swapped for `params`."""
+    return dataclasses.replace(sd, **params)
+
+
+def trace_radiance_scan(
+    sd, cam, pixel_ids, rows, cols, sample_ids, seed, max_depth, has_lights
+):
+    """Reverse-differentiable twin of trace_radiance: lax.scan over bounces.
+
+    Same estimator, same RNG stream, same return value (radiance [B,3]) — but a
+    fixed-trip scan instead of a while_loop, with the detached-sampling bounce body.
+    """
+    from .camera import generate_rays
+
+    o, d, time = generate_rays(cam, rows, cols, pixel_ids, sample_ids, seed)
+    b = pixel_ids.shape[0]
+    p_light = jnp.float32(0.5 if has_lights else 0.0)
+    p_bsdf = jnp.float32(1.0) - p_light
+
+    state = (
+        o,
+        d,
+        jnp.ones((b, 3), jnp.float32),  # throughput
+        jnp.zeros((b, 3), jnp.float32),  # radiance
+        jnp.ones((b,), bool),  # alive
+    )
+
+    @jax.checkpoint
+    def body(carry, bounce):
+        o, d, T, L, alive = carry
+        o_n, d_n, T, L, alive = bounce_step(
+            sd, o, d, time, T, L, alive, bounce, pixel_ids, sample_ids, seed,
+            p_light, p_bsdf, has_lights, detach=True,
+        )
+        o = jnp.where(alive[..., None], o_n, o)
+        d = jnp.where(alive[..., None], d_n, d)
+        return (o, d, T, L, alive), None
+
+    (_, _, _, L, _), _ = lax.scan(body, state, jnp.arange(max_depth, dtype=jnp.int32))
+    return L
+
+
+def make_pixel_fn(compiled, camera):
+    """Build `f(params, pixel_ids, rows, cols, sample_ids, seed) -> radiance [B,3]`.
+
+    The returned function is pure in `params` (the DIFF_FIELDS pytree) and composes
+    with jax.grad / jax.vjp / jax.jit. Sample averaging is the caller's job: pass
+    (pixel, sample) pairs flattened along the batch axis like the forward renderer.
+    """
+    sd = compiled.data
+    cam = camera.init()
+    max_depth = camera.max_depth
+    has_lights = compiled.has_lights
+
+    def f(params, pixel_ids, rows, cols, sample_ids, seed):
+        return trace_radiance_scan(
+            apply_params(sd, params), cam, pixel_ids, rows, cols, sample_ids, seed,
+            max_depth, has_lights,
+        )
+
+    return f
+
+
+@partial(jax.jit, static_argnames=("fn",))
+def _value_and_grad_call(fn, params, args, cotangent):
+    val, vjp = jax.vjp(lambda p: fn(p, *args), params)
+    (grads,) = vjp(cotangent)
+    return val, grads
+
+
+def render_grads(
+    compiled,
+    camera,
+    pixel_ids,
+    spp: int,
+    seed: int = 0,
+    cotangent=None,
+):
+    """Pixel radiances + parameter gradients for a pixel block.
+
+    Returns (radiance [npix,3] averaged over spp, grads pytree of
+    d<sum(cotangent * radiance)>/d{mat_params, tex_rgb, env_color}).
+    cotangent defaults to ones — i.e. the gradient of the total (white) image sum,
+    averaged per sample so grads are per-pixel-mean scale.
+    """
+    import numpy as np
+
+    fn = make_pixel_fn(compiled, camera)
+    w = camera.image_width
+    pix = jnp.asarray(np.repeat(np.asarray(pixel_ids, np.int32), spp))
+    rows, cols = pix // w, pix % w
+    samp = jnp.asarray(np.tile(np.arange(spp, dtype=np.int32), len(pixel_ids)))
+
+    npix = len(pixel_ids)
+    if cotangent is None:
+        cot = jnp.ones((npix, spp, 3), jnp.float32) / spp
+    else:
+        cot = jnp.broadcast_to(
+            jnp.asarray(cotangent, jnp.float32)[:, None, :], (npix, spp, 3)
+        ) / spp
+
+    params = init_params(compiled.data)
+    val, grads = _value_and_grad_call(
+        fn, params, (pix, rows, cols, samp, jnp.uint32(seed)), cot.reshape(-1, 3)
+    )
+    radiance = val.reshape(npix, spp, 3).mean(axis=1)
+    return radiance, grads

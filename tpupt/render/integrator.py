@@ -42,6 +42,107 @@ EPS = jnp.float32(1e-3)  # bsdf/mod.rs:19
 MIN_BOUNCES = 5  # camera.rs:172
 
 
+def bounce_step(
+    sd,
+    o,
+    d,
+    time,
+    T,
+    L,
+    alive,
+    bounce,
+    pixel_ids,
+    sample_ids,
+    seed,
+    p_light,
+    p_bsdf,
+    has_lights,
+    *,
+    detach=False,
+):
+    """One bounce of the reference estimator (camera.rs:177-226) over a lane batch.
+
+    Shared by the masked wavefront (trace_radiance), the path-regeneration wavefront
+    (trace_film_streamed) and the differentiable scan integrator (render/diff.py).
+
+    Returns (o_next, d_next, T, L, alive) — callers mask o/d updates by `alive`.
+
+    detach=True builds the *detached-sampling* estimator for reverse-mode AD
+    (Mitsuba-3-style): every sampling-derived quantity — sampled directions, the
+    mixture pdf, the russian-roulette survival probability — is wrapped in
+    stop_gradient, so pixel gradients flow only through the integrand factors
+    (bsdf eval, emission, environment). This is the unbiased detached estimator:
+    E[d(f)/p] = d∫f since p carries no gradient. It also guards the pdf division
+    (a zero pdf kills the lane instead of minting NaNs to quantize away like
+    camera.rs:216 does) because NaN * 0-mask still poisons reverse-mode AD.
+    """
+    sg = lax.stop_gradient if detach else (lambda x: x)
+
+    hit = closest_hit(sd, o, d, time, T_MIN, T_MAX)
+
+    # miss -> environment (camera.rs:180-183)
+    env = sample_environment(sd, d)
+    missed = alive & ~hit.valid
+    L = L + jnp.where(missed[..., None], T * env, 0.0)
+    alive = alive & hit.valid
+
+    # emission from the hit (camera.rs:186-187)
+    shade = make_shade(sd, hit.mat_id, hit.u, hit.v, hit.point, hit.ng, hit.ns, hit.front)
+    L = L + jnp.where(alive[..., None], T * shade.emission, 0.0)
+
+    # per-bounce uniforms
+    ctrl = rng.bounce_ctr(bounce)
+    rr_u, mis_r, light_pick, lobe_u = rng.uniform4(
+        seed, pixel_ids, sample_ids, ctrl + rng.SLOT_CTRL
+    )
+    e1, e2, fresnel_u, _ = rng.uniform4(seed, pixel_ids, sample_ids, ctrl + rng.SLOT_BSDF)
+    lu1, lu2, _, _ = rng.uniform4(seed, pixel_ids, sample_ids, ctrl + rng.SLOT_LIGHT)
+
+    # russian roulette after MIN_BOUNCES (camera.rs:190-196)
+    p = sg(jnp.clip(la.luminance(T), 0.01, 1.0))
+    rr_on = alive & (bounce > MIN_BOUNCES)
+    die = rr_on & (rr_u > p)
+    alive = alive & ~die
+    T = jnp.where((rr_on & alive)[..., None], T / p[..., None], T)
+
+    # one-sample MIS between light and BSDF sampling (camera.rs:198-211)
+    view = -d
+    b_dir, b_ok = bsdf_sample(shade, view, lobe_u, e1, e2, fresnel_u)
+    if has_lights:
+        l_dir = light_ops.sample_lights(sd, hit.point, time, light_pick, lu1, lu2)
+        use_light = mis_r < p_light
+        new_dir = jnp.where(use_light[..., None], l_dir, b_dir)
+        ok = use_light | b_ok
+    else:
+        new_dir = b_dir
+        ok = b_ok
+    new_dir = sg(new_dir)
+    alive = alive & ok
+
+    # mixture pdf + eval (camera.rs:212-216)
+    pdf_b = bsdf_pdf(shade, view, new_dir)
+    if has_lights:
+        pdf_l = light_ops.pdf_lights(sd, hit.point, new_dir, time)
+        pdf = p_bsdf * pdf_b + p_light * pdf_l
+    else:
+        pdf = p_bsdf * pdf_b
+    brdf = bsdf_eval(shade, view, new_dir)
+    if detach:
+        pdf = sg(pdf)
+        alive = alive & (pdf > 0.0)
+        atten = brdf / jnp.where(pdf > 0.0, pdf, 1.0)[..., None]
+    else:
+        atten = brdf / pdf[..., None]  # unguarded, like the reference (camera.rs:216)
+    T = jnp.where(alive[..., None], T * atten, T)
+
+    # offset next origin along the geometric normal (camera.rs:217-222)
+    eps = EPS * jnp.sign(jnp.sum(new_dir * hit.ng, axis=-1))
+    o_next = hit.point + eps[..., None] * hit.ng
+    d_next = la.normalize(new_dir, eps=1e-30)  # Ray::new normalizes (ray.rs:26)
+
+    return o_next, d_next, T, L, alive
+
+
 def trace_radiance(sd, cam, pixel_ids, rows, cols, sample_ids, seed, max_depth, has_lights):
     """Trace one path per lane; returns (radiance [B,3], rays_traced scalar uint32).
 
@@ -75,61 +176,10 @@ def trace_radiance(sd, cam, pixel_ids, rows, cols, sample_ids, seed, max_depth, 
         T, L, alive = s["throughput"], s["radiance"], s["alive"]
         rays = s["rays"] + jnp.sum(alive).astype(jnp.uint32)
 
-        hit = closest_hit(sd, o, d, time, T_MIN, T_MAX)
-
-        # miss -> environment (camera.rs:180-183)
-        env = sample_environment(sd, d)
-        missed = alive & ~hit.valid
-        L = L + jnp.where(missed[..., None], T * env, 0.0)
-        alive = alive & hit.valid
-
-        # emission from the hit (camera.rs:186-187)
-        shade = make_shade(sd, hit.mat_id, hit.u, hit.v, hit.point, hit.ng, hit.ns, hit.front)
-        L = L + jnp.where(alive[..., None], T * shade.emission, 0.0)
-
-        # per-bounce uniforms
-        ctrl = rng.bounce_ctr(bounce)
-        rr_u, mis_r, light_pick, lobe_u = rng.uniform4(
-            seed, pixel_ids, sample_ids, ctrl + rng.SLOT_CTRL
+        o_next, d_next, T, L, alive = bounce_step(
+            sd, o, d, time, T, L, alive, bounce, pixel_ids, sample_ids, seed,
+            p_light, p_bsdf, has_lights,
         )
-        e1, e2, fresnel_u, _ = rng.uniform4(seed, pixel_ids, sample_ids, ctrl + rng.SLOT_BSDF)
-        lu1, lu2, _, _ = rng.uniform4(seed, pixel_ids, sample_ids, ctrl + rng.SLOT_LIGHT)
-
-        # russian roulette after MIN_BOUNCES (camera.rs:190-196)
-        p = jnp.clip(la.luminance(T), 0.01, 1.0)
-        rr_on = alive & (bounce > MIN_BOUNCES)
-        die = rr_on & (rr_u > p)
-        alive = alive & ~die
-        T = jnp.where((rr_on & alive)[..., None], T / p[..., None], T)
-
-        # one-sample MIS between light and BSDF sampling (camera.rs:198-211)
-        view = -d
-        b_dir, b_ok = bsdf_sample(shade, view, lobe_u, e1, e2, fresnel_u)
-        if has_lights:
-            l_dir = light_ops.sample_lights(sd, hit.point, time, light_pick, lu1, lu2)
-            use_light = mis_r < p_light
-            new_dir = jnp.where(use_light[..., None], l_dir, b_dir)
-            ok = use_light | b_ok
-        else:
-            new_dir = b_dir
-            ok = b_ok
-        alive = alive & ok
-
-        # mixture pdf + eval (camera.rs:212-216)
-        pdf_b = bsdf_pdf(shade, view, new_dir)
-        if has_lights:
-            pdf_l = light_ops.pdf_lights(sd, hit.point, new_dir, time)
-            pdf = p_bsdf * pdf_b + p_light * pdf_l
-        else:
-            pdf = p_bsdf * pdf_b
-        brdf = bsdf_eval(shade, view, new_dir)
-        atten = brdf / pdf[..., None]  # unguarded, like the reference (camera.rs:216)
-        T = jnp.where(alive[..., None], T * atten, T)
-
-        # offset next origin along the geometric normal (camera.rs:217-222)
-        eps = EPS * jnp.sign(jnp.sum(new_dir * hit.ng, axis=-1))
-        o_next = hit.point + eps[..., None] * hit.ng
-        d_next = la.normalize(new_dir, eps=1e-30)  # Ray::new normalizes (ray.rs:26)
 
         return dict(
             bounce=bounce + 1,
@@ -212,54 +262,10 @@ def trace_film_streamed(
         rays = s["rays"] + jnp.sum(alive).astype(jnp.uint32)
 
         # ---- one bounce (identical estimator to trace_radiance) ----
-        hit = closest_hit(sd, o, d, time, T_MIN, T_MAX)
-
-        env = sample_environment(sd, d)
-        missed = alive & ~hit.valid
-        L = L + jnp.where(missed[..., None], T * env, 0.0)
-        alive_h = alive & hit.valid
-
-        shade = make_shade(sd, hit.mat_id, hit.u, hit.v, hit.point, hit.ng, hit.ns, hit.front)
-        L = L + jnp.where(alive_h[..., None], T * shade.emission, 0.0)
-
-        ctrl = rng.bounce_ctr(bounce)
-        rr_u, mis_r, light_pick, lobe_u = rng.uniform4(
-            seed, pixel_ids, cur_sample, ctrl + rng.SLOT_CTRL
+        o_next, d_next, T, L, alive_h = bounce_step(
+            sd, o, d, time, T, L, alive, bounce, pixel_ids, cur_sample, seed,
+            p_light, p_bsdf, has_lights,
         )
-        e1, e2, fresnel_u, _ = rng.uniform4(seed, pixel_ids, cur_sample, ctrl + rng.SLOT_BSDF)
-        lu1, lu2, _, _ = rng.uniform4(seed, pixel_ids, cur_sample, ctrl + rng.SLOT_LIGHT)
-
-        p = jnp.clip(la.luminance(T), 0.01, 1.0)
-        rr_on = alive_h & (bounce > MIN_BOUNCES)
-        die = rr_on & (rr_u > p)
-        alive_h = alive_h & ~die
-        T = jnp.where((rr_on & alive_h)[..., None], T / p[..., None], T)
-
-        view = -d
-        b_dir, b_ok = bsdf_sample(shade, view, lobe_u, e1, e2, fresnel_u)
-        if has_lights:
-            l_dir = light_ops.sample_lights(sd, hit.point, time, light_pick, lu1, lu2)
-            use_light = mis_r < p_light
-            new_dir = jnp.where(use_light[..., None], l_dir, b_dir)
-            ok = use_light | b_ok
-        else:
-            new_dir = b_dir
-            ok = b_ok
-        alive_h = alive_h & ok
-
-        pdf_b = bsdf_pdf(shade, view, new_dir)
-        if has_lights:
-            pdf_l = light_ops.pdf_lights(sd, hit.point, new_dir, time)
-            pdf = p_bsdf * pdf_b + p_light * pdf_l
-        else:
-            pdf = p_bsdf * pdf_b
-        brdf = bsdf_eval(shade, view, new_dir)
-        atten = brdf / pdf[..., None]
-        T = jnp.where(alive_h[..., None], T * atten, T)
-
-        eps = EPS * jnp.sign(jnp.sum(new_dir * hit.ng, axis=-1))
-        o_next = hit.point + eps[..., None] * hit.ng
-        d_next = la.normalize(new_dir, eps=1e-30)
 
         bounce = bounce + 1
         # max_depth exit: the reference loop just stops after max_depth iterations
