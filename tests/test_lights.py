@@ -7,7 +7,7 @@ import numpy as np
 from tpupt.ops import lights as L
 
 _pdf_lights = jax.jit(L.pdf_lights)
-_sample_lights = jax.jit(L.sample_lights)
+_sample_lights = jax.jit(lambda *a: L.sample_lights(*a)[0])  # drop is_env flag
 from tpupt.scene.builder import Diffuse, Light, Scene
 
 

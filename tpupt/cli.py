@@ -20,6 +20,19 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("-o", "--output", type=str, default=None)
     ap.add_argument("--rays-per-launch", type=int, default=1 << 20)
+    ap.add_argument(
+        "--checkpoint",
+        type=str,
+        default=None,
+        help="film checkpoint file: saved after every launch, resumed if present "
+        "(bit-identical to an uninterrupted render)",
+    )
+    ap.add_argument(
+        "--hdr-env",
+        action="store_true",
+        help="full-f32 HDR environment + importance sampling (scenes 4 and 7; "
+        "new capability — the reference quantizes .hdr maps to u8)",
+    )
     args = ap.parse_args(argv)
 
     width, spp = (1920, 4000) if args.quality else (600, 100)  # main.rs:633
@@ -41,10 +54,22 @@ def main(argv=None):
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
 
     print(f"scene {args.scene} ({name}): {width}px, {spp} spp")
-    scene, camera = build(width, spp)
+    import inspect
+
+    kwargs = {}
+    if args.hdr_env:
+        if "hdr_env" not in inspect.signature(build).parameters:
+            print(f"--hdr-env: scene {args.scene} has no environment map; ignoring")
+        else:
+            kwargs["hdr_env"] = True
+    scene, camera = build(width, spp, **kwargs)
     compiled = scene.compile()
     img, _, stats = render_image(
-        compiled, camera, seed=args.seed, rays_per_launch=args.rays_per_launch
+        compiled,
+        camera,
+        seed=args.seed,
+        rays_per_launch=args.rays_per_launch,
+        checkpoint_path=args.checkpoint,
     )
     save_png(out_path, img)
     print(

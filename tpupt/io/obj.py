@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 
-def load_obj(path: str):
+def load_obj(path: str, native: bool = True):
     """Parse an OBJ file.
 
     Returns dict with:
@@ -20,7 +20,17 @@ def load_obj(path: str):
       normals:   [V,3] float32 or None (aligned with positions)
       uvs:       [V,2] float32 or None
       indices:   [F,3] int32
+
+    Prefers the native C++ parser (tpupt/native, the counterpart of the
+    reference's tobj crate); this Python implementation is the portable fallback
+    and the parity oracle for tests.
     """
+    if native:
+        from .. import native as _native
+
+        mesh = _native.parse_obj(path)
+        if mesh is not None:
+            return mesh
     positions, normals, uvs = [], [], []
     # unified re-indexing: (vi, ti, ni) -> new index
     remap: dict = {}

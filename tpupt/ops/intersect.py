@@ -165,6 +165,50 @@ def _quad_block(sd, i, blk, ox, oy, oz, dx, dy, dz, tmin, tmax):
     return jnp.where(miss, BIG, t)
 
 
+def _tri_block_mxu(sd, i, blk, phi, tmin, tmax):
+    """Möller–Trumbore as matmuls on the MXU for table block i -> [blk, B].
+
+    The four MT determinants are linear functionals of the ray feature vector
+    phi = [d, o, o×d, 1] (10 components): a = d·(e2×e1), u·a = (o×d)·e2 − d·(e2×v0),
+    v·a = −(o×d)·e1 − d·(v0×e1), t·a = o·n − v0·n. With per-triangle coefficient
+    rows precompiled (scene/compile.py: tri_ca/cu/cv/ct [N,10]), a block of
+    triangles against the whole ray batch is four [blk,10] @ [10,B] matmuls —
+    systolic-array work instead of VPU elementwise, ~10-80x the FLOP rate.
+    Epilogue and miss tests are identical to _tri_block (mesh.rs:50-82).
+    """
+    hp = jax.lax.Precision.HIGHEST  # geometry needs f32-grade accumulation
+    ca = lax.dynamic_slice_in_dim(sd.tri_ca, i * blk, blk)
+    cu = lax.dynamic_slice_in_dim(sd.tri_cu, i * blk, blk)
+    cv = lax.dynamic_slice_in_dim(sd.tri_cv, i * blk, blk)
+    ct = lax.dynamic_slice_in_dim(sd.tri_ct, i * blk, blk)
+    a = jnp.matmul(ca, phi, precision=hp)  # [blk, B]
+    U = jnp.matmul(cu, phi, precision=hp)
+    V = jnp.matmul(cv, phi, precision=hp)
+    T = jnp.matmul(ct, phi, precision=hp)
+    f = 1.0 / jnp.where(jnp.abs(a) < 1e-8, 1.0, a)
+    u = f * U
+    v = f * V
+    t = f * T
+    miss = (
+        (jnp.abs(a) < 1e-8)
+        | (u < 0.0)
+        | (u > 1.0)
+        | (v < 0.0)
+        | (u + v > 1.0)
+        | (t <= tmin)
+        | (t >= tmax)
+    )
+    return jnp.where(miss, BIG, t)
+
+
+def ray_features(ox, oy, oz, dx, dy, dz):
+    """phi [10, B] for the MXU intersection path: [d, o, o×d, 1]."""
+    mx = oy * dz - oz * dy
+    my = oz * dx - ox * dz
+    mz = ox * dy - oy * dx
+    return jnp.stack([dx, dy, dz, ox, oy, oz, mx, my, mz, jnp.ones_like(ox)], axis=0)
+
+
 def _tri_block(sd, i, blk, ox, oy, oz, dx, dy, dz, tmin, tmax):
     """mesh.rs:50-82 (Moller-Trumbore) for table block i -> [blk, B]."""
     v0x, v0y, v0z = (_blk(c, i, blk) for c in _cols(sd.tri_v0))
@@ -224,9 +268,19 @@ def closest_hit(sd: "D.SceneData", o, d, time, tmin, tmax) -> Hit:
     t_q, i_q = sweep_kind(
         nq, lambda i, blk: _quad_block(sd, i, blk, ox, oy, oz, dx, dy, dz, tmin, tmax)
     )
-    t_t, i_t = sweep_kind(
-        nt, lambda i, blk: _tri_block(sd, i, blk, ox, oy, oz, dx, dy, dz, tmin, tmax)
-    )
+    if sd.has_tri_bvh:
+        # large triangle tables traverse the stackless BVH (ops/bvh.py) instead of
+        # the dense sweep: O(log n) node visits per lane vs O(n) triangle tests
+        from .bvh import bvh_closest_tri
+
+        t_t, i_t = bvh_closest_tri(sd, ox, oy, oz, dx, dy, dz, tmin, tmax)
+    elif sd.has_tri_mxu:
+        phi = ray_features(ox, oy, oz, dx, dy, dz)
+        t_t, i_t = sweep_kind(nt, lambda i, blk: _tri_block_mxu(sd, i, blk, phi, tmin, tmax))
+    else:
+        t_t, i_t = sweep_kind(
+            nt, lambda i, blk: _tri_block(sd, i, blk, ox, oy, oz, dx, dy, dz, tmin, tmax)
+        )
 
     # min across kinds; ties resolve sphere < quad < tri like the old stacked argmin
     t_best = jnp.minimum(jnp.minimum(t_s, t_q), t_t)

@@ -30,9 +30,39 @@ TWO_PI = jnp.float32(2.0 * jnp.pi)
 
 
 def sample_lights(sd: "D.SceneData", origin, time, u_pick, u1, u2):
-    """Pick a light uniformly and sample a direction toward it -> [B,3] unit dirs."""
-    n = sd.n_lights
-    li = jnp.minimum((u_pick * n).astype(jnp.int32), n - 1)
+    """Pick a light member uniformly and sample a direction toward it -> [B,3].
+
+    Members are the geometry lights (list.rs:78-84) plus, when the scene has an
+    HDR environment with importance sampling (sd.env_is_hdr — NEW capability),
+    the environment itself as one extra member sampled from its alias table.
+
+    Returns (dir [B,3], is_env [B] bool). is_env marks lanes whose pick was the
+    environment member — the integrator kills those when they aim below the
+    shading horizon of an opaque (diffuse/metal) lane, because the reference's
+    |cos| eval (diffuse.rs:65, metal.rs:78) would otherwise leak non-physical
+    transmission energy straight into the env miss path (render/integrator.py).
+    """
+    if sd.env_is_hdr:
+        from .envmap import sample_env_light
+
+        m = sd.n_lights_real + 1
+        pick = jnp.minimum((u_pick * m).astype(jnp.int32), m - 1)
+        env_dir = sample_env_light(sd, u1, u2)
+        if sd.n_lights_real == 0:
+            return la.pack3(env_dir), jnp.ones(u_pick.shape, bool)
+        is_env = pick == sd.n_lights_real
+        geom_dir = la.unpack3(_sample_geom_lights(sd, origin, time, pick, u1, u2))
+        return la.pack3(la.where3(is_env, env_dir, geom_dir)), is_env
+    dir_ = _sample_geom_lights(
+        sd, origin, time, jnp.minimum((u_pick * sd.n_lights).astype(jnp.int32), sd.n_lights - 1),
+        u1, u2,
+    )
+    return dir_, jnp.zeros(u_pick.shape, bool)
+
+
+def _sample_geom_lights(sd: "D.SceneData", origin, time, li, u1, u2):
+    """Sample a direction toward geometry light `li` [B] -> [B,3] unit dirs."""
+    li = jnp.minimum(li, sd.n_lights - 1)
     rows = take_rows(sd.light_geom, li)  # [B, 10] kind-uniform rows (scene/compile.py)
     kind = rows[..., 9].astype(jnp.int32)
     ox, oy, oz = la.unpack3(origin)
@@ -139,10 +169,21 @@ def _tri_light_pdf(v0, e1, e2, n0, n1, n2, o, d):
 
 
 def pdf_lights(sd: "D.SceneData", origin, direction, time):
-    """Mean per-light pdf over the light table (list.rs:86-96) -> [B]."""
-    n = sd.n_lights
+    """Mean per-member pdf (list.rs:86-96), env included when sd.env_is_hdr -> [B]."""
     o = la.unpack3(origin)
     d = la.unpack3(direction)
+    if sd.env_is_hdr:
+        from .envmap import pdf_env_light
+
+        n_geom = sd.n_lights_real
+        total = pdf_env_light(sd, direction)
+        if n_geom:
+            total = total + _sum_geom_light_pdfs(sd, o, d, time, n_geom)
+        return total / jnp.float32(n_geom + 1)
+    return _sum_geom_light_pdfs(sd, o, d, time, sd.n_lights) / jnp.float32(sd.n_lights)
+
+
+def _sum_geom_light_pdfs(sd: "D.SceneData", o, d, time, n):
     total = jnp.zeros_like(o[0])
     # n is a static (compile-time) table length; small in every reference scene.
     # light kinds/indices are numpy-able at trace time (concrete scene arrays) only
@@ -179,4 +220,4 @@ def pdf_lights(sd: "D.SceneData", origin, direction, time):
         total += jnp.where(
             kind == D.GEOM_SPHERE, p_s, jnp.where(kind == D.GEOM_QUAD, p_q, p_t)
         )
-    return total / jnp.float32(n)
+    return total

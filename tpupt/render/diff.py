@@ -43,7 +43,7 @@ from .integrator import bounce_step
 
 
 # SceneData leaves exposed as differentiable parameters.
-DIFF_FIELDS = ("mat_params", "tex_rgb", "env_color")
+DIFF_FIELDS = ("mat_params", "tex_rgb", "env_color", "env_img")
 
 
 def init_params(sd) -> dict:

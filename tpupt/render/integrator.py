@@ -109,10 +109,23 @@ def bounce_step(
     view = -d
     b_dir, b_ok = bsdf_sample(shade, view, lobe_u, e1, e2, fresnel_u)
     if has_lights:
-        l_dir = light_ops.sample_lights(sd, hit.point, time, light_pick, lu1, lu2)
+        l_dir, l_is_env = light_ops.sample_lights(sd, hit.point, time, light_pick, lu1, lu2)
+        if sd.env_is_hdr:
+            # env member aimed below the shading horizon of an opaque lane: the
+            # reference's |cos| eval would transmit — treat as a failed sample
+            # (sample() -> None kills the path, camera.rs:209-211) so the
+            # estimator integrates the physically clamped BRDF. Transmissive
+            # families (glass, principled) keep below-horizon directions.
+            from ..scene.data import MAT_DIFFUSE, MAT_METAL
+
+            opaque = (shade.mtype == MAT_DIFFUSE) | (shade.mtype == MAT_METAL)
+            below = jnp.sum(l_dir * hit.ns, axis=-1) <= 0.0
+            l_ok = ~(l_is_env & opaque & below)
+        else:
+            l_ok = jnp.ones_like(b_ok)
         use_light = mis_r < p_light
         new_dir = jnp.where(use_light[..., None], l_dir, b_dir)
-        ok = use_light | b_ok
+        ok = jnp.where(use_light, l_ok, b_ok)
     else:
         new_dir = b_dir
         ok = b_ok

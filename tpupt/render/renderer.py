@@ -60,12 +60,24 @@ def render_image(
     rays_per_launch: int = 1 << 20,
     samples_per_launch: int = 64,
     progress: bool = True,
+    checkpoint_path: str | None = None,
+    on_launch=None,
 ):
     """Render -> (uint8 image [H,W,3], float32 mean radiance [H,W,3], RenderStats).
 
     rays_per_launch bounds the lane count (pixel block size) of a launch;
     samples_per_launch bounds how many samples each lane streams per launch
     (launch granularity for progress/checkpointing, not an estimator knob).
+
+    checkpoint_path: persist (film accumulator, launch cursor, stats) after every
+    launch and resume from it when the file exists — the aux subsystem the
+    reference lacks (SURVEY.md section 5: single-shot render, camera.rs:118).
+    Resuming is exact: the counter-based RNG means a resumed render is
+    bit-identical to an uninterrupted one. The config fingerprint (scene shape,
+    camera, seed) is verified on load; mismatch raises.
+
+    on_launch(mean_so_far [H,W,3] f32, samples_done_fraction) is called after
+    every launch — progressive preview hook.
     """
     sd = compiled.data
     cam = camera.init()
@@ -77,39 +89,73 @@ def render_image(
     k = min(spp, samples_per_launch)
     n_pixel_blocks = (npix + pb - 1) // pb
     n_sample_chunks = (spp + k - 1) // k
+    total_launches = n_pixel_blocks * n_sample_chunks
 
+    fingerprint = np.array([w, h, spp, seed, pb, k, camera.max_depth], dtype=np.int64)
     film = np.zeros((npix, 3), dtype=np.float64)
     stats = RenderStats()
+    start_it = 0
+    if checkpoint_path is not None and __import__("os").path.exists(checkpoint_path):
+        ck = np.load(checkpoint_path)
+        if not np.array_equal(ck["fingerprint"], fingerprint):
+            raise ValueError(
+                f"checkpoint {checkpoint_path} was written for a different render "
+                f"config ({ck['fingerprint']} vs {fingerprint})"
+            )
+        film = ck["film"]
+        start_it = int(ck["next_it"])
+        stats.launches = start_it
+        stats.paths = int(ck["paths"])
+        stats.rays = int(ck["rays"])
+        if progress:
+            print(f"  resuming at launch {start_it}/{total_launches}", flush=True)
+
     t0 = _time.perf_counter()
     seed_u32 = jnp.uint32(seed)
 
-    for pblk in range(n_pixel_blocks):
+    for it in range(start_it, total_launches):
+        pblk, schunk = divmod(it, n_sample_chunks)
         lo = pblk * pb
         ids = np.arange(lo, min(lo + pb, npix), dtype=np.int32)
         n_valid = len(ids)
         if n_valid < pb:  # pad final block (padded rows dropped below)
             ids = np.concatenate([ids, np.zeros(pb - n_valid, np.int32)])
-        ids_dev = jnp.asarray(ids)
-        acc = None
-        for schunk in range(n_sample_chunks):
-            out, rays = _chunk_film(
-                sd,
-                cam,
-                ids_dev,
-                jnp.int32(schunk * k),
-                jnp.int32(spp),
-                seed_u32,
-                k=k,
-                max_depth=camera.max_depth,
-                has_lights=compiled.has_lights,
-                width=w,
+        out, rays = _chunk_film(
+            sd,
+            cam,
+            jnp.asarray(ids),
+            jnp.int32(schunk * k),
+            jnp.int32(spp),
+            seed_u32,
+            k=k,
+            max_depth=camera.max_depth,
+            has_lights=compiled.has_lights,
+            width=w,
+        )
+        film[ids[:n_valid]] += np.asarray(out)[:n_valid].astype(np.float64)
+        stats.launches += 1
+        stats.paths += n_valid * min(k, spp - schunk * k)
+        stats.rays += int(rays)
+        if checkpoint_path is not None:
+            import os
+
+            tmp = checkpoint_path + ".tmp.npz"
+            np.savez(
+                tmp,
+                film=film,
+                next_it=np.int64(it + 1),
+                paths=np.int64(stats.paths),
+                rays=np.int64(stats.rays),
+                fingerprint=fingerprint,
             )
-            acc = out if acc is None else acc + out
-            stats.launches += 1
-            stats.paths += n_valid * min(k, spp - schunk * k)
-            stats.rays += int(rays)
-        film[ids[:n_valid]] += np.asarray(acc)[:n_valid].astype(np.float64)
-        if progress:
+            os.replace(tmp, checkpoint_path)  # atomic: partial writes never land
+        if on_launch is not None:
+            done_spp = min((schunk + 1) * k, spp)
+            on_launch(
+                (film / max(done_spp, 1)).reshape(h, w, 3).astype(np.float32),
+                (it + 1) / total_launches,
+            )
+        if progress and schunk == n_sample_chunks - 1:
             print(f"  pixel block {pblk + 1}/{n_pixel_blocks} done", flush=True)
 
     stats.wall_s = _time.perf_counter() - t0

@@ -281,7 +281,9 @@ class Scene:
         uvs = None if obj["uvs"] is None else obj["uvs"].astype(np.float64)
         self.objects.append(MeshRec(pos, nrm, uvs, obj["indices"], material))
 
-    def compile(self):
+    def compile(self, bvh: bool | None = None):
+        """Compile to SceneData. bvh: None = per-backend default (see compile.py),
+        True/False forces the triangle BVH on/off."""
         from .compile import compile_scene
 
-        return compile_scene(self)
+        return compile_scene(self, bvh=bvh)

@@ -36,9 +36,10 @@ def _intern_texture(tex, tables) -> int:
         from ..io.image import load_image_f32, load_image_rgb8
 
         if tex.hdr:
-            # documented upgrade path: keep HDR f32 (scaled into the u8 atlas domain
-            # is lossy, so full-precision HDR lands in a future float atlas)
-            raise NotImplementedError("hdr=True float atlas lands with envmap importance sampling")
+            # hdr=True is only meaningful for the environment map (handled in
+            # compile_scene via the f32 env_img + alias tables); object textures
+            # stay u8 for reference parity (texture.rs:63-68)
+            raise NotImplementedError("hdr=True is supported for Scene.environment only")
         img = load_image_rgb8(tex.path)
         h, w = img.shape[:2]
         offset = sum(len(a) for a in tables["atlas"])
@@ -154,7 +155,7 @@ class CompiledScene:
         self.has_lights = has_lights  # p_light = 0.5 iff lights non-empty (camera.rs:199)
 
 
-def compile_scene(scene: "B.Scene") -> CompiledScene:
+def compile_scene(scene: "B.Scene", bvh: bool | None = None) -> CompiledScene:
     import jax.numpy as jnp
 
     tables = dict(
@@ -162,7 +163,33 @@ def compile_scene(scene: "B.Scene") -> CompiledScene:
     )
 
     # environment must be interned before padding defaults
-    if isinstance(scene.environment, B.ImageTexture):
+    env_is_hdr = False
+    env_img = np.zeros((1, 3), dtype=np.float32)
+    env_wh = np.array([1, 1], dtype=np.int32)
+    env_alias = np.zeros(1, dtype=np.int32)
+    env_prob = np.ones(1, dtype=np.float32)
+    env_pdf = np.full(1, 1.0 / (4.0 * np.pi), dtype=np.float32)
+    if isinstance(scene.environment, B.ImageTexture) and scene.environment.hdr:
+        # NEW capability (BASELINE.json): full f32 HDR env + importance sampling.
+        # The reference would quantize this map to u8 (texture.rs:67) and never
+        # sample it; here it joins the NEE/MIS light mixture (ops/envmap.py).
+        from ..io.image import load_image_f32
+        from ..ops.envmap import build_env_tables
+
+        src = scene.environment.path
+        img = (
+            np.asarray(src, dtype=np.float32)
+            if isinstance(src, np.ndarray)
+            else load_image_f32(src).astype(np.float32)
+        )
+        h, w = img.shape[:2]
+        env_alias, env_prob, env_pdf = build_env_tables(img)
+        env_img = img.reshape(-1, 3)
+        env_wh = np.array([w, h], dtype=np.int32)
+        env_is_hdr = True
+        env_tex_id = -1
+        env_color = np.zeros(3, dtype=np.float32)
+    elif isinstance(scene.environment, B.ImageTexture):
         env_tex_id = _intern_texture(scene.environment, tables)
         env_color = np.zeros(3, dtype=np.float32)
     else:
@@ -204,23 +231,104 @@ def compile_scene(scene: "B.Scene") -> CompiledScene:
     quad_d = (normal * quad_q).sum(-1)  # quad.rs:24
 
     # ---- triangles (pad: zero edges -> |a| < 1e-8 parallel reject, mesh.rs:60) ----
-    tri = _pad_to_block(
-        tables["tri"],
-        (np.zeros(3), np.zeros(3), np.zeros(3), (np.zeros(3),) * 3, (np.zeros(2),) * 3, False, 0),
+    n_tri_real = len(tables["tri"])
+    BVH_THRESHOLD = 64
+    if bvh is None:
+        # measured on scene 6 (17k tris): the stackless traversal wins 3.7x on CPU
+        # but loses ~28x on TPU, where per-lane node gathers + a divergent
+        # while_loop can't compete with the dense prim-major VPU sweep. Default
+        # by backend; callers can force either path.
+        import jax
+
+        use_bvh = n_tri_real >= BVH_THRESHOLD and jax.default_backend() != "tpu"
+    else:
+        use_bvh = bool(bvh) and n_tri_real >= 2
+    tri_real = tables["tri"] or [
+        (np.zeros(3), np.zeros(3), np.zeros(3), (np.zeros(3),) * 3, (np.zeros(2),) * 3, False, 0)
+    ]
+    tri_v0 = np.stack([t[0] for t in tri_real]).astype(f32)
+    tri_e1 = np.stack([t[1] - t[0] for t in tri_real]).astype(f32)
+    tri_e2 = np.stack([t[2] - t[0] for t in tri_real]).astype(f32)
+    tri_n0 = np.stack([t[3][0] for t in tri_real]).astype(f32)
+    tri_n1 = np.stack([t[3][1] for t in tri_real]).astype(f32)
+    tri_n2 = np.stack([t[3][2] for t in tri_real]).astype(f32)
+    tri_uv0 = np.stack([t[4][0] for t in tri_real]).astype(f32)
+    tri_uv1 = np.stack([t[4][1] for t in tri_real]).astype(f32)
+    tri_uv2 = np.stack([t[4][2] for t in tri_real]).astype(f32)
+    tri_has_uv = np.array([t[5] for t in tri_real], dtype=bool)
+    tri_mat = np.array([t[6] for t in tri_real], dtype=np.int32)
+
+    tri_perm = None
+    if use_bvh:
+        # Morton-reorder the triangle table and emit the stackless node arrays
+        # (ops/bvh.py replaces bvh.rs SAH recursion + mesh.rs:195 nested trees)
+        from ..ops.bvh import build_tri_bvh
+
+        order, nodes = build_tri_bvh(tri_v0, tri_e1, tri_e2)
+        tri_perm = order  # new_index_of_old: inverse permutation, built below
+        (tri_v0, tri_e1, tri_e2, tri_n0, tri_n1, tri_n2,
+         tri_uv0, tri_uv1, tri_uv2, tri_has_uv, tri_mat) = (
+            a[order] for a in (tri_v0, tri_e1, tri_e2, tri_n0, tri_n1, tri_n2,
+                               tri_uv0, tri_uv1, tri_uv2, tri_has_uv, tri_mat)
+        )
+        bvh_min, bvh_max = nodes["bmin"], nodes["bmax"]
+        bvh_skip, bvh_start, bvh_count = nodes["skip"], nodes["start"], nodes["count"]
+    else:
+        bvh_min = np.zeros((1, 3), dtype=f32)
+        bvh_max = np.zeros((1, 3), dtype=f32)
+        bvh_skip = np.ones(1, dtype=np.int32)
+        bvh_start = np.zeros(1, dtype=np.int32)
+        bvh_count = np.zeros(1, dtype=np.int32)
+
+    def _pad_rows(a, pad_value=0):
+        n = max(a.shape[0], 1)
+        blk = 8 if n <= 64 else 256
+        target = ((n + blk - 1) // blk) * blk
+        if target == a.shape[0]:
+            return a
+        pad_shape = (target - a.shape[0],) + a.shape[1:]
+        return np.concatenate([a, np.full(pad_shape, pad_value, dtype=a.dtype)], axis=0)
+
+    (tri_v0, tri_e1, tri_e2, tri_n0, tri_n1, tri_n2,
+     tri_uv0, tri_uv1, tri_uv2, tri_has_uv, tri_mat) = (
+        _pad_rows(a) for a in (tri_v0, tri_e1, tri_e2, tri_n0, tri_n1, tri_n2,
+                               tri_uv0, tri_uv1, tri_uv2, tri_has_uv, tri_mat)
     )
-    tri_v0 = np.stack([t[0] for t in tri]).astype(f32)
-    tri_e1 = np.stack([t[1] - t[0] for t in tri]).astype(f32)
-    tri_e2 = np.stack([t[2] - t[0] for t in tri]).astype(f32)
-    tri_n0 = np.stack([t[3][0] for t in tri]).astype(f32)
-    tri_n1 = np.stack([t[3][1] for t in tri]).astype(f32)
-    tri_n2 = np.stack([t[3][2] for t in tri]).astype(f32)
-    tri_uv0 = np.stack([t[4][0] for t in tri]).astype(f32)
-    tri_uv1 = np.stack([t[4][1] for t in tri]).astype(f32)
-    tri_uv2 = np.stack([t[4][2] for t in tri]).astype(f32)
-    tri_has_uv = np.array([t[5] for t in tri], dtype=bool)
-    tri_mat = np.array([t[6] for t in tri], dtype=np.int32)
+
+    # MXU intersection coefficients (ops/intersect.py _tri_block_mxu). Measured on
+    # a v5e: 2x SLOWER than the VPU sweep — the contraction dim is only 10, so the
+    # 128-wide systolic array runs at <8% utilization and HIGHEST precision costs
+    # 6 passes. Kept as an opt-in (flip has_tri_mxu) and a documented negative
+    # result; the dense component sweep stays the TPU default.
+    use_mxu = False
+    if n_tri_real >= BVH_THRESHOLD:  # build tables whenever large, so the static
+        # flags can be flipped post-compile (tests/benchmarks compare all paths)
+        z = np.zeros_like(tri_v0[:, :1])
+        n_vec = np.cross(tri_e1, tri_e2)
+        tri_ca = np.concatenate(
+            [np.cross(tri_e2, tri_e1), 0 * tri_v0, 0 * tri_v0, z], axis=1
+        ).astype(f32)
+        tri_cu = np.concatenate(
+            [-np.cross(tri_e2, tri_v0), 0 * tri_v0, tri_e2, z], axis=1
+        ).astype(f32)
+        tri_cv = np.concatenate(
+            [-np.cross(tri_v0, tri_e1), 0 * tri_v0, -tri_e1, z], axis=1
+        ).astype(f32)
+        tri_ct = np.concatenate(
+            [0 * tri_v0, n_vec, 0 * tri_v0, -(tri_v0 * n_vec).sum(-1, keepdims=True)],
+            axis=1,
+        ).astype(f32)
+    else:
+        tri_ca = tri_cu = tri_cv = tri_ct = np.zeros((1, 10), dtype=f32)
 
     # ---- lights (pad row never selected: integrator masks on n_lights) ----
+    if tri_perm is not None:
+        # triangle table was Morton-reordered: remap triangle light indices
+        inv_perm = np.empty_like(tri_perm)
+        inv_perm[tri_perm] = np.arange(len(tri_perm), dtype=tri_perm.dtype)
+        tables["lights"] = [
+            (k, int(inv_perm[g]) if k == D.GEOM_TRI else g) for k, g in tables["lights"]
+        ]
     lights = tables["lights"] or [(D.GEOM_SPHERE, 0)]
     light_kind = np.array([l[0] for l in lights], dtype=np.int32)
     light_idx = np.array([l[1] for l in lights], dtype=np.int32)
@@ -307,10 +415,30 @@ def compile_scene(scene: "B.Scene") -> CompiledScene:
         atlas=jnp.asarray(atlas),
         env_color=jnp.asarray(env_color),
         env_tex=jnp.asarray(env_tex_id, dtype=jnp.int32),
+        env_img=jnp.asarray(env_img),
+        env_wh=jnp.asarray(env_wh),
+        env_alias=jnp.asarray(env_alias),
+        env_prob=jnp.asarray(env_prob),
+        env_pdf=jnp.asarray(env_pdf),
         # static specialization facts (part of the jit cache key)
         has_normal_maps=bool((mat_normal_tex >= 0).any()),
         mat_types=tuple(sorted(set(int(t) for t in mat_type))),
         has_image_textures=bool((tex_type == D.TEX_IMAGE).any()) or env_tex_id >= 0,
         env_is_map=env_tex_id >= 0,
+        env_is_hdr=env_is_hdr,
+        n_lights_real=len(tables["lights"]),
+        has_tri_bvh=use_bvh,
+        has_tri_mxu=use_mxu,
+        tri_ca=jnp.asarray(tri_ca),
+        tri_cu=jnp.asarray(tri_cu),
+        tri_cv=jnp.asarray(tri_cv),
+        tri_ct=jnp.asarray(tri_ct),
+        bvh_min=jnp.asarray(bvh_min),
+        bvh_max=jnp.asarray(bvh_max),
+        bvh_skip=jnp.asarray(bvh_skip),
+        bvh_start=jnp.asarray(bvh_start),
+        bvh_count=jnp.asarray(bvh_count),
     )
-    return CompiledScene(data, has_lights)
+    # with env importance sampling the env is a light member, so MIS engages
+    # (p_light = 0.5) even when the geometry lights list is empty
+    return CompiledScene(data, has_lights or env_is_hdr)

@@ -59,7 +59,16 @@ P_CLEARCOAT_GLOSS = 10
 N_PARAMS = 11
 
 
-_STATIC_FIELDS = ("has_normal_maps", "mat_types", "has_image_textures", "env_is_map")
+_STATIC_FIELDS = (
+    "has_normal_maps",
+    "mat_types",
+    "has_image_textures",
+    "env_is_map",
+    "env_is_hdr",
+    "n_lights_real",
+    "has_tri_bvh",
+    "has_tri_mxu",
+)
 
 
 def _dataclass_pytree(cls):
@@ -138,12 +147,45 @@ class SceneData:
     env_color: jnp.ndarray  # [3]
     env_tex: jnp.ndarray  # [] int32 texture id, -1 = constant color
 
+    # full-precision HDR environment + importance sampling (NEW capability vs the
+    # reference, which quantizes .hdr files to u8 and never samples the env —
+    # texture.rs:63-68, camera.rs:140-151; see BASELINE.json north star):
+    # the map is kept as f32 texels; an alias table (Vose) over luminance*sin(theta)
+    # texel weights gives O(1) vectorized sampling; env_pdf holds the precomputed
+    # solid-angle density per texel for the MIS mixture pdf.
+    env_img: jnp.ndarray  # [Hw*Ww,3] f32 texels (dummy [1,3] when not hdr)
+    env_wh: jnp.ndarray  # [2] int32 (W, H)
+    env_alias: jnp.ndarray  # [Hw*Ww] int32 alias targets
+    env_prob: jnp.ndarray  # [Hw*Ww] f32 alias acceptance probabilities
+    env_pdf: jnp.ndarray  # [Hw*Ww] f32 solid-angle pdf per texel
+
+    # triangle BVH (ops/bvh.py): DFS pre-order nodes with escape indices; the
+    # triangle tables above are Morton-reordered when has_tri_bvh is set.
+    # Replaces the reference's per-mesh SAH trees + recursion (bvh.rs, mesh.rs:195).
+    bvh_min: jnp.ndarray  # [M,3] f32 (padded by 1e-3 like aabb.rs:16-21)
+    bvh_max: jnp.ndarray  # [M,3]
+    bvh_skip: jnp.ndarray  # [M] int32 first node after the subtree
+    bvh_start: jnp.ndarray  # [M] int32 leaf triangle range start (sorted order)
+    bvh_count: jnp.ndarray  # [M] int32 leaf size, 0 = internal node
+
+    # MXU intersection path (ops/intersect.py _tri_block_mxu): per-triangle
+    # coefficient rows of the Möller–Trumbore linear functionals over the ray
+    # feature vector [d, o, o×d, 1]. Dummy [1,10] zeros when has_tri_mxu is off.
+    tri_ca: jnp.ndarray  # [T,10] a    = d·(e2×e1)
+    tri_cu: jnp.ndarray  # [T,10] u·a  = (o×d)·e2 − d·(e2×v0)
+    tri_cv: jnp.ndarray  # [T,10] v·a  = −(o×d)·e1 − d·(v0×e1)
+    tri_ct: jnp.ndarray  # [T,10] t·a  = o·n − v0·n, n = e1×e2
+
     # static (hashable, trace-time) facts — part of the jit cache key, enabling
     # per-scene kernel specialization (dead material branches compile out)
     has_normal_maps: bool = False
     mat_types: tuple = ()  # sorted tuple of MAT_* present in the scene
     has_image_textures: bool = False
     env_is_map: bool = False
+    env_is_hdr: bool = False  # f32 HDR env + importance sampling enabled
+    n_lights_real: int = 0  # geometry lights (light table may hold one pad row)
+    has_tri_bvh: bool = False  # triangle table is Morton-ordered with BVH nodes
+    has_tri_mxu: bool = False  # triangle sweep runs as MXU matmuls
 
     @property
     def n_spheres(self):

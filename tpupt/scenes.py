@@ -171,18 +171,21 @@ def cornell_box_scene(width: int, spp: int):
     return s, cam
 
 
-def environment_map_scene(width: int, spp: int):
+def environment_map_scene(width: int, spp: int, hdr_env: bool = False):
     """main.rs:238-274 — big mirror sphere + quad light under an HDR envmap.
 
     NOTE: the light quad is added via add_object (main.rs:245), so the lights list is
     empty and MIS degenerates to BSDF-only sampling, exactly as in the reference.
+    hdr_env=True switches to the NEW full-f32 HDR environment with importance
+    sampling (BASELINE.json config 3): the env joins the MIS light mixture and the
+    map is no longer quantized to u8 (texture.rs:67 parity delta, documented).
     """
     s = Scene()
     s.add_sphere(9.0, (4.0, 2.0, 0.0), Metal((1.0, 1.0, 1.0), 0.001))
     s.add_quad(
         (-2.0, 6.5, 0.0), (4.0, 0.0, 0.0), (0.0, 0.0, 2.0), Light((10.0, 10.0, 10.0))
     )
-    s.environment = ImageTexture(_asset("grace_probe_latlong.hdr"))
+    s.environment = ImageTexture(_asset("grace_probe_latlong.hdr"), hdr=hdr_env)
     cam = Camera(
         aspect_ratio=16.0 / 9.0,
         image_width=width,
@@ -276,7 +279,7 @@ def bsdf_demo_scene(width: int, spp: int):
     return s, cam
 
 
-def everything_scene(width: int, spp: int):
+def everything_scene(width: int, spp: int, hdr_env: bool = False):
     """main.rs:371-532 — OBJ meshes, caustics, HDR envmap, DoF."""
     s = Scene()
     checker = CheckerTexture(0.92, SolidTexture((0.2, 0.3, 0.1)), SolidTexture((0.9, 0.9, 0.9)))
@@ -360,7 +363,7 @@ def everything_scene(width: int, spp: int):
     s.add_sphere(0.2, (0.0, 0.2, 3.0), Metal((0.6, 0.05, 0.05), 0.1))
     s.add_sphere(0.3, (1.2, 0.3, 3.4), Glass((0.7, 0.3, 0.3), 0.3, 1.5))
 
-    s.environment = ImageTexture(_asset("grace_probe_latlong.hdr"))
+    s.environment = ImageTexture(_asset("grace_probe_latlong.hdr"), hdr=hdr_env)
     cam = Camera(
         aspect_ratio=16.0 / 9.0,
         image_width=width,
@@ -377,7 +380,7 @@ def everything_scene(width: int, spp: int):
     return s, cam
 
 
-def normal_demo_scene(width: int, spp: int):
+def normal_demo_scene(width: int, spp: int, hdr_env: bool = False):
     """main.rs:534-618 — Cornell-style box with brick normal mapping + glass sphere."""
     s = Scene()
     bricks_albedo = ImageTexture(_asset("bricks/color.png"))
