@@ -32,7 +32,7 @@ import jax.numpy as jnp  # noqa: E402
 # x10 for the final release+rayon build on a contemporary laptop => 3e7 rays/s.
 REF_RAYS_PER_S = 3.0e7
 
-BENCH_SPP = 16
+BENCH_SPP = 100  # the reference fast-mode / BASELINE.json config 1 (600px, 100 spp)
 WIDTH = 600
 
 
@@ -44,10 +44,11 @@ def main():
     compiled = scene.compile()
     print("# scene compiled", file=sys.stderr, flush=True)
 
-    # warm-up: compile the launch shapes (2 sample chunks at the same (pb, k))
-    warm = cornell_box_scene(WIDTH, 4)[1]
-    warm.samples_per_pixel = 4
-    render_image(compiled, warm, rays_per_launch=1 << 20, progress=False)
+    # warm-up: run the EXACT benchmark config once. k (samples per launch) is a
+    # static jit arg, so warming with a different spp compiles a different program
+    # and the timed run would pay the compile (an earlier bench bug: it reported
+    # 16M rays/s where the warm kernel does ~90M).
+    render_image(compiled, cam, rays_per_launch=1 << 20, progress=False)
     print("# warmup done", file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()

@@ -27,7 +27,8 @@ def _scene():
 
 def test_checkpoint_resume_bit_identical(tmp_path):
     compiled, cam = _scene()
-    kwargs = dict(rays_per_launch=1 << 14, samples_per_launch=4, progress=False)
+    # rays_per_launch == npix pins replication r=1 so the launch structure is 4 chunks
+    kwargs = dict(rays_per_launch=100, samples_per_launch=4, progress=False)
 
     _, ref, _ = render_image(compiled, cam, **kwargs)
 
@@ -54,13 +55,13 @@ def test_checkpoint_config_mismatch(tmp_path):
     compiled, cam = _scene()
     ck = str(tmp_path / "film.npz")
     render_image(
-        compiled, cam, checkpoint_path=ck, rays_per_launch=1 << 14,
+        compiled, cam, checkpoint_path=ck, rays_per_launch=100,
         samples_per_launch=4, progress=False,
     )
     cam.samples_per_pixel = 32
     with pytest.raises(ValueError, match="different render config"):
         render_image(
-            compiled, cam, checkpoint_path=ck, rays_per_launch=1 << 14,
+            compiled, cam, checkpoint_path=ck, rays_per_launch=100,
             samples_per_launch=4, progress=False,
         )
 
@@ -69,7 +70,7 @@ def test_progressive_preview_converges():
     compiled, cam = _scene()
     previews = []
     _, final, _ = render_image(
-        compiled, cam, rays_per_launch=1 << 14, samples_per_launch=4,
+        compiled, cam, rays_per_launch=100, samples_per_launch=4,
         progress=False, on_launch=lambda m, f: previews.append((m.copy(), f)),
     )
     assert len(previews) == 4  # 16 spp / 4 per launch
@@ -77,3 +78,12 @@ def test_progressive_preview_converges():
     # the last preview IS the final mean; earlier ones are coarser estimates
     np.testing.assert_allclose(previews[-1][0], final, rtol=1e-6)
     assert np.isfinite(previews[0][0]).all()
+
+def test_lane_replication_invariant():
+    """r lanes per pixel (chip-filling replication) must not change the estimate:
+    the same (pixel, sample) paths run, only scheduled across more lanes."""
+    compiled, cam = _scene()
+    _, a, sa = render_image(compiled, cam, rays_per_launch=100, progress=False)   # r = 1
+    _, b, sb = render_image(compiled, cam, rays_per_launch=1600, progress=False)  # r = 16
+    assert sa.paths == sb.paths
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)  # f32 sum reassociation only

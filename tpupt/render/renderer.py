@@ -38,19 +38,28 @@ class RenderStats:
         return self.rays / self.wall_s if self.wall_s > 0 else 0.0
 
 
-@partial(jax.jit, static_argnames=("k", "max_depth", "has_lights", "width"))
-def _chunk_film(sd, cam, pixel_ids, sample0, spp_limit, seed, *, k, max_depth, has_lights, width):
-    """Film sums of up to k samples per pixel in `pixel_ids` -> ([pb,3], rays).
+@partial(jax.jit, static_argnames=("k", "r", "max_depth", "has_lights", "width"))
+def _chunk_film(
+    sd, cam, pixel_ids, sample0, spp_limit, seed, *, k, r, max_depth, has_lights, width
+):
+    """Film sums of up to r*k samples per pixel in `pixel_ids` -> ([pb,3], rays).
 
-    Uses the path-regeneration wavefront (trace_film_streamed): one lane per pixel,
-    each streaming its k samples back-to-back. Samples at or beyond spp_limit are
-    never started, so a fixed k never over-counts on the final sample chunk.
+    Uses the path-regeneration wavefront (trace_film_streamed) with r lanes per
+    pixel, each streaming its own k-sample slice (replica j takes samples
+    [sample0 + j*k, ...)). Replication exists to FILL THE CHIP when the pixel
+    block is smaller than the efficient lane count (Cornell 600px = 360k pixels
+    vs ~1M lanes; measured +2x). Samples at or beyond spp_limit are never
+    started, so fixed (k, r) never over-count on the final sample chunk.
     """
-    rows = pixel_ids // width
-    cols = pixel_ids % width
-    return trace_film_streamed(
-        sd, cam, pixel_ids, rows, cols, sample0, spp_limit, seed, k, max_depth, has_lights
+    pb = pixel_ids.shape[0]
+    pix = jnp.tile(pixel_ids, r)
+    rows = pix // width
+    cols = pix % width
+    lane_sample0 = sample0 + jnp.repeat(jnp.arange(r, dtype=jnp.int32) * k, pb)
+    film, rays = trace_film_streamed(
+        sd, cam, pix, rows, cols, lane_sample0, spp_limit, seed, k, max_depth, has_lights
     )
+    return film.reshape(r, pb, 3).sum(axis=0), rays
 
 
 def render_image(
@@ -86,12 +95,16 @@ def render_image(
     npix = w * h
 
     pb = min(npix, rays_per_launch)
-    k = min(spp, samples_per_launch)
+    # lane replication: fill the chip when the pixel block is smaller than the
+    # launch budget (see _chunk_film) — r lanes per pixel, each a balanced
+    # k-sample slice. Keep k >= 8 so the path-regeneration tail stays amortized.
+    r = max(1, min(rays_per_launch // pb, spp // 8))
+    k = min((spp + r - 1) // r, samples_per_launch)
     n_pixel_blocks = (npix + pb - 1) // pb
-    n_sample_chunks = (spp + k - 1) // k
+    n_sample_chunks = (spp + r * k - 1) // (r * k)
     total_launches = n_pixel_blocks * n_sample_chunks
 
-    fingerprint = np.array([w, h, spp, seed, pb, k, camera.max_depth], dtype=np.int64)
+    fingerprint = np.array([w, h, spp, seed, pb, k, r, camera.max_depth], dtype=np.int64)
     film = np.zeros((npix, 3), dtype=np.float64)
     stats = RenderStats()
     start_it = 0
@@ -124,17 +137,18 @@ def render_image(
             sd,
             cam,
             jnp.asarray(ids),
-            jnp.int32(schunk * k),
+            jnp.int32(schunk * r * k),
             jnp.int32(spp),
             seed_u32,
             k=k,
+            r=r,
             max_depth=camera.max_depth,
             has_lights=compiled.has_lights,
             width=w,
         )
         film[ids[:n_valid]] += np.asarray(out)[:n_valid].astype(np.float64)
         stats.launches += 1
-        stats.paths += n_valid * min(k, spp - schunk * k)
+        stats.paths += n_valid * min(r * k, spp - schunk * r * k)
         stats.rays += int(rays)
         if checkpoint_path is not None:
             import os
@@ -150,7 +164,7 @@ def render_image(
             )
             os.replace(tmp, checkpoint_path)  # atomic: partial writes never land
         if on_launch is not None:
-            done_spp = min((schunk + 1) * k, spp)
+            done_spp = min((schunk + 1) * r * k, spp)
             on_launch(
                 (film / max(done_spp, 1)).reshape(h, w, 3).astype(np.float32),
                 (it + 1) / total_launches,
