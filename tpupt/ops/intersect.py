@@ -262,12 +262,25 @@ def closest_hit(sd: "D.SceneData", o, d, time, tmin, tmax) -> Hit:
             return _sweep(n, lambda i: fn(i, blk), blk, unroll=True)
         return _sweep(n, lambda i: fn(i, _LOOP_BLK), _LOOP_BLK, unroll=False)
 
-    t_s, i_s = sweep_kind(
-        ns, lambda i, blk: _sphere_block(sd, i, blk, ox, oy, oz, dx, dy, dz, time, tmin, tmax)
-    )
-    t_q, i_q = sweep_kind(
-        nq, lambda i, blk: _quad_block(sd, i, blk, ox, oy, oz, dx, dy, dz, tmin, tmax)
-    )
+    if sd.use_pallas_hit:
+        # fused Pallas kernel for the sphere+quad legs (ops/pallas_hit.py):
+        # tables in SMEM, rays tiled (8,128), one pass instead of two sweeps
+        from .pallas_hit import pallas_closest_sphere_quad
+
+        t_sq, kind_sq, idx_sq = pallas_closest_sphere_quad(
+            sd, o, d, time, interpret=jax.default_backend() != "tpu"
+        )
+        t_s = jnp.where(kind_sq == KIND_SPHERE, t_sq, BIG)
+        i_s = jnp.where(kind_sq == KIND_SPHERE, idx_sq, 0)
+        t_q = jnp.where(kind_sq == KIND_QUAD, t_sq, BIG)
+        i_q = jnp.where(kind_sq == KIND_QUAD, idx_sq, 0)
+    else:
+        t_s, i_s = sweep_kind(
+            ns, lambda i, blk: _sphere_block(sd, i, blk, ox, oy, oz, dx, dy, dz, time, tmin, tmax)
+        )
+        t_q, i_q = sweep_kind(
+            nq, lambda i, blk: _quad_block(sd, i, blk, ox, oy, oz, dx, dy, dz, tmin, tmax)
+        )
     if sd.has_tri_bvh:
         # large triangle tables traverse the stackless BVH (ops/bvh.py) instead of
         # the dense sweep: O(log n) node visits per lane vs O(n) triangle tests

@@ -71,6 +71,8 @@ def render_image(
     progress: bool = True,
     checkpoint_path: str | None = None,
     on_launch=None,
+    profile_dir: str | None = None,
+    debug_checks: bool = False,
 ):
     """Render -> (uint8 image [H,W,3], float32 mean radiance [H,W,3], RenderStats).
 
@@ -87,6 +89,14 @@ def render_image(
 
     on_launch(mean_so_far [H,W,3] f32, samples_done_fraction) is called after
     every launch — progressive preview hook.
+
+    profile_dir: wrap the render in a jax.profiler trace (view in XProf /
+    TensorBoard) — the observability hook the reference lacks (SURVEY.md
+    section 5: one wall-clock dbg! at camera.rs:125).
+
+    debug_checks: validate every launch's film for NaN/Inf and raise with the
+    launch coordinates — the JAX-functional analog of the reference's
+    glam-assert debug feature (Cargo.toml:8). Costs one host sync per launch.
     """
     sd = compiled.data
     cam = camera.init()
@@ -126,6 +136,24 @@ def render_image(
     t0 = _time.perf_counter()
     seed_u32 = jnp.uint32(seed)
 
+    import contextlib
+
+    prof = (
+        jax.profiler.trace(profile_dir) if profile_dir is not None else contextlib.nullcontext()
+    )
+    with prof:
+        return _render_loop(
+            compiled, camera, sd, cam, film, stats, start_it, total_launches,
+            n_sample_chunks, pb, k, r, npix, w, h, spp, seed_u32, fingerprint,
+            checkpoint_path, on_launch, progress, debug_checks, t0,
+        )
+
+
+def _render_loop(
+    compiled, camera, sd, cam, film, stats, start_it, total_launches,
+    n_sample_chunks, pb, k, r, npix, w, h, spp, seed_u32, fingerprint,
+    checkpoint_path, on_launch, progress, debug_checks, t0,
+):
     for it in range(start_it, total_launches):
         pblk, schunk = divmod(it, n_sample_chunks)
         lo = pblk * pb
@@ -146,6 +174,15 @@ def render_image(
             has_lights=compiled.has_lights,
             width=w,
         )
+        if debug_checks:
+            bad = ~np.isfinite(np.asarray(out)[:n_valid])
+            if bad.any():
+                lanes = np.nonzero(bad.any(axis=-1))[0]
+                raise FloatingPointError(
+                    f"non-finite film at launch {it} (pixel block {pblk}, sample "
+                    f"chunk {schunk}): {len(lanes)} pixels, first ids "
+                    f"{ids[lanes[:8]].tolist()}"
+                )
         film[ids[:n_valid]] += np.asarray(out)[:n_valid].astype(np.float64)
         stats.launches += 1
         stats.paths += n_valid * min(r * k, spp - schunk * r * k)

@@ -68,6 +68,7 @@ _STATIC_FIELDS = (
     "n_lights_real",
     "has_tri_bvh",
     "has_tri_mxu",
+    "use_pallas_hit",
 )
 
 
@@ -186,6 +187,7 @@ class SceneData:
     n_lights_real: int = 0  # geometry lights (light table may hold one pad row)
     has_tri_bvh: bool = False  # triangle table is Morton-ordered with BVH nodes
     has_tri_mxu: bool = False  # triangle sweep runs as MXU matmuls
+    use_pallas_hit: bool = False  # sphere+quad legs run as the fused Pallas kernel
 
     @property
     def n_spheres(self):
