@@ -17,9 +17,9 @@ Layout:
     scene/     builder API + scene compiler   (reference L5 scene graphs -> SoA IR)
     ops/       intersect/BSDF/texture kernels (reference L1-L3 hot loops)
     render/    camera, integrator, film       (reference L4: camera.rs)
-    parallel/  mesh sharding of the ray axis  (reference: rayon pixel loop)
+    parallel/  mesh + pod sharding of the sample axis (reference: rayon pixel loop)
     io/        OBJ + image asset loading      (reference: tobj/image crates)
-    utils/     timers, logging, config
+    native/    C++ runtime (OBJ parse, BVH build) via ctypes
 """
 
 __version__ = "0.1.0"

@@ -27,9 +27,6 @@ a static size threshold (scene/compile.py reorders the table and emits node arra
 
 from __future__ import annotations
 
-import dataclasses
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -106,10 +103,8 @@ def build_tri_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, native: bool =
             work.append((a, mid))
 
     skip_arr = np.zeros(len(bmin), dtype=np.int32)
-    # skip[i] = first node index after i's subtree; same splits, explicit stack
-    patch = [(0, 0, n)]  # (node, a, b) — node index where the range's subtree starts
-    # Walk pre-order and track subtree extents: process with a stack of pending
-    # (node, range) whose subtree size is computed from the recursive node count.
+    # skip[i] = first node index after i's subtree: walk the same splits again,
+    # computing each range's subtree node count (memoized by range size)
     sizes = {}
 
     def subtree_nodes(t: int) -> int:

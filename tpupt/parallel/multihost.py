@@ -1,0 +1,124 @@
+"""Multi-host (pod-slice) scaling: a 2-D (host, chip) mesh over DCN x ICI.
+
+The reference is a single shared-memory process (SURVEY.md section 2.4). The pod
+design here follows the standard JAX recipe: every process calls
+``initialize_distributed`` once, builds the same global mesh, and runs the same
+SPMD program; XLA routes the 'chip' axis collectives over ICI and the 'host'
+axis over DCN. Because rays are independent, the forward pass needs ZERO
+communication — the scene + BVH live replicated on every chip and each chip
+traces a disjoint sample shard. Exactly two reductions cross chips:
+
+- the film sum (one psum at the end of a launch),
+- parameter gradients in the differentiable pass (one psum per backward).
+
+A multi-axis ``psum(x, ('chip', 'host'))`` lowers to a hierarchical all-reduce:
+intra-host over ICI first, then one inter-host hop over DCN.
+
+Tested without a pod via the 8-virtual-device CPU backend reshaped to (2, 4)
+(tests/test_multihost.py); the driver's dryrun validates compile+execute the
+same way.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..render.integrator import trace_radiance
+from .sharding import shard_map
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Wrapper over jax.distributed.initialize (no-op when single-process).
+
+    On a real pod each host calls this before building the mesh; under a job
+    scheduler the arguments come from the environment and may be omitted.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def make_pod_mesh(n_hosts: int | None = None, chips_per_host: int | None = None) -> Mesh:
+    """Global 2-D mesh ('host', 'chip'). Defaults to process count x local chips."""
+    devs = jax.devices()
+    if n_hosts is None:
+        n_hosts = jax.process_count()
+    if chips_per_host is None:
+        chips_per_host = len(devs) // n_hosts
+    need = n_hosts * chips_per_host
+    if len(devs) < need:
+        raise RuntimeError(
+            f"pod mesh ({n_hosts} hosts x {chips_per_host} chips) needs {need} "
+            f"devices, only {len(devs)} visible"
+        )
+    import numpy as np
+
+    grid = np.array(devs[:need]).reshape(n_hosts, chips_per_host)
+    return Mesh(grid, ("host", "chip"))
+
+
+def pod_sample_step(mesh: Mesh, max_depth: int, has_lights: bool):
+    """SPMD step over the pod: every chip traces k samples of the pixel block;
+    film all-reduced hierarchically (ICI within hosts, DCN across)."""
+
+    n_hosts, n_chips = mesh.devices.shape
+
+    def build(k_per_chip: int):
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+        def step(sd, cam, pixel_ids, rows, cols, sample0, seed):
+            hi = jax.lax.axis_index("host")
+            ci = jax.lax.axis_index("chip")
+            pos = hi * n_chips + ci  # flattened shard id over the pod
+            pb = pixel_ids.shape[0]
+            pix = jnp.tile(pixel_ids, k_per_chip)
+            local_samples = sample0 + pos * k_per_chip + jnp.repeat(
+                jnp.arange(k_per_chip, dtype=jnp.int32), pb
+            )
+            rr = jnp.tile(rows, k_per_chip)
+            cc = jnp.tile(cols, k_per_chip)
+            radiance, rays = trace_radiance(
+                sd, cam, pix, rr, cc, local_samples, seed, max_depth, has_lights
+            )
+            film = radiance.reshape(k_per_chip, pb, 3).sum(axis=0)
+            film = jax.lax.psum(film, ("chip", "host"))  # ICI first, then DCN
+            rays = jax.lax.psum(rays.astype(jnp.float32), ("chip", "host"))
+            return film, rays
+
+        return jax.jit(step)
+
+    return build
+
+
+def render_block_pod(
+    compiled, camera, pixel_ids, rows, cols, spp: int, seed: int = 0, mesh: Mesh | None = None
+):
+    """Render a pixel block with the sample axis sharded over the whole pod."""
+    mesh = mesh or make_pod_mesh()
+    n = mesh.devices.size
+    assert spp % n == 0, f"spp {spp} must divide over {n} pod chips"
+    k = spp // n
+    cam = camera.init()
+    step = pod_sample_step(mesh, camera.max_depth, compiled.has_lights)(k)
+    film, rays = step(
+        compiled.data,
+        cam,
+        jnp.asarray(pixel_ids, jnp.int32),
+        jnp.asarray(rows, jnp.int32),
+        jnp.asarray(cols, jnp.int32),
+        jnp.int32(0),
+        jnp.uint32(seed),
+    )
+    return film, rays

@@ -14,7 +14,7 @@ rigid transforms.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Union
+from typing import Optional, Union
 
 import numpy as np
 
