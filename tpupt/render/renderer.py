@@ -67,7 +67,7 @@ def render_image(
     camera: Camera,
     seed: int = 0,
     rays_per_launch: int = 1 << 20,
-    samples_per_launch: int = 64,
+    samples_per_launch: int = 128,
     progress: bool = True,
     checkpoint_path: str | None = None,
     on_launch=None,
@@ -105,10 +105,17 @@ def render_image(
     npix = w * h
 
     pb = min(npix, rays_per_launch)
-    # lane replication: fill the chip when the pixel block is smaller than the
-    # launch budget (see _chunk_film) — r lanes per pixel, each a balanced
-    # k-sample slice. Keep k >= 8 so the path-regeneration tail stays amortized.
-    r = max(1, min(rays_per_launch // pb, spp // 8))
+    # schedule (measured on Cornell 600px/100spp, v5 lite):
+    # - ~256k lanes already saturate the chip; more lanes only lengthen the
+    #   wavefront tail (360k/r=1/k=100 -> 83.8M rays/s beats 1.8M/r=5/k=20 -> 74M)
+    # - the longest possible per-lane sample stream k amortizes the tail best
+    # so: replicate pixels across lanes ONLY when the pixel block is below the
+    # saturation target, and keep each lane's slice as long as allowed.
+    LANE_TARGET = 1 << 18
+    if pb >= LANE_TARGET:
+        r = 1
+    else:
+        r = max(1, min(LANE_TARGET // pb + 1, rays_per_launch // pb, spp // 8))
     k = min((spp + r - 1) // r, samples_per_launch)
     n_pixel_blocks = (npix + pb - 1) // pb
     n_sample_chunks = (spp + r * k - 1) // (r * k)
