@@ -87,3 +87,12 @@ def test_lane_replication_invariant():
     _, b, sb = render_image(compiled, cam, rays_per_launch=1600, progress=False)  # r = 16
     assert sa.paths == sb.paths
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)  # f32 sum reassociation only
+
+
+def test_progress_print_path(capsys):
+    """progress=True exercises the narration path (a refactor once broke it:
+    every other test passes progress=False)."""
+    compiled, cam = _scene()
+    render_image(compiled, cam, rays_per_launch=100, samples_per_launch=8, progress=True)
+    out = capsys.readouterr().out
+    assert "pixel block 1/1 done" in out

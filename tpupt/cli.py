@@ -49,6 +49,19 @@ def main(argv=None):
         print(f"unknown scene {args.scene}; choose from {sorted(SCENES)}")
         return 1
 
+    # persistent XLA compile cache: TPU programs take minutes to compile through
+    # this environment's remote compile service; cached loads are sub-second
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("TPUPT_CACHE_DIR", os.path.join(os.path.dirname(__file__), "..", ".jax_cache")),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # config frozen after backend init; cache is best-effort
+
     name, build = SCENES[args.scene]
     out_path = args.output or os.path.join("out", f"{name}.png")
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)

@@ -151,15 +151,15 @@ def render_image(
     with prof:
         return _render_loop(
             compiled, camera, sd, cam, film, stats, start_it, total_launches,
-            n_sample_chunks, pb, k, r, npix, w, h, spp, seed_u32, fingerprint,
-            checkpoint_path, on_launch, progress, debug_checks, t0,
+            n_pixel_blocks, n_sample_chunks, pb, k, r, npix, w, h, spp, seed_u32,
+            fingerprint, checkpoint_path, on_launch, progress, debug_checks, t0,
         )
 
 
 def _render_loop(
     compiled, camera, sd, cam, film, stats, start_it, total_launches,
-    n_sample_chunks, pb, k, r, npix, w, h, spp, seed_u32, fingerprint,
-    checkpoint_path, on_launch, progress, debug_checks, t0,
+    n_pixel_blocks, n_sample_chunks, pb, k, r, npix, w, h, spp, seed_u32,
+    fingerprint, checkpoint_path, on_launch, progress, debug_checks, t0,
 ):
     for it in range(start_it, total_launches):
         pblk, schunk = divmod(it, n_sample_chunks)
