@@ -32,8 +32,10 @@ import jax.numpy as jnp  # noqa: E402
 # x10 for the final release+rayon build on a contemporary laptop => 3e7 rays/s.
 REF_RAYS_PER_S = 3.0e7
 
-BENCH_SPP = 100  # the reference fast-mode / BASELINE.json config 1 (600px, 100 spp)
-WIDTH = 600
+# defaults: the reference fast-mode / BASELINE.json config 1. Override for the
+# full FHD metric: BENCH_WIDTH=1920 BENCH_SPP=4000 python bench.py
+BENCH_SPP = int(os.environ.get("BENCH_SPP", 100))
+WIDTH = int(os.environ.get("BENCH_WIDTH", 600))
 
 
 def main():
@@ -44,11 +46,16 @@ def main():
     compiled = scene.compile()
     print("# scene compiled", file=sys.stderr, flush=True)
 
-    # warm-up: run the EXACT benchmark config once. k (samples per launch) is a
-    # static jit arg, so warming with a different spp compiles a different program
-    # and the timed run would pay the compile (an earlier bench bug: it reported
-    # 16M rays/s where the warm kernel does ~90M).
-    render_image(compiled, cam, rays_per_launch=1 << 20, progress=False)
+    # warm-up: run the EXACT launch shapes once. k/r/pb are static jit args, so
+    # warming with different shapes compiles a different program and the timed
+    # run would pay the compile (an earlier bench bug: it reported 16M rays/s
+    # where the warm kernel does ~90M). For big configs warm with a reduced spp
+    # that still uses the same (pb, k, r).
+    import copy
+
+    warm_cam = copy.copy(cam)
+    warm_cam.samples_per_pixel = min(cam.samples_per_pixel, 128)
+    render_image(compiled, warm_cam, rays_per_launch=1 << 20, progress=False)
     print("# warmup done", file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
