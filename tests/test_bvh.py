@@ -6,10 +6,9 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from tpupt.io.obj import load_obj
-from tpupt.ops.bvh import LEAF_SIZE, build_tri_bvh, bvh_closest_tri
+from tpupt.ops.bvh import LEAF_SIZE, build_tri_bvh
 from tpupt.ops.intersect import closest_hit
 from tpupt.scene.builder import Diffuse, Scene
 

@@ -6,8 +6,6 @@ sample/pdf agree, the full MIS estimator stays unbiased with the env as a light
 member (white furnace), HDR radiance survives >1, and gradients flow into env_img.
 """
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,9 +17,9 @@ from tpupt.ops.envmap import (
     sample_environment,
 )
 from tpupt.render.camera import Camera
-from tpupt.render.diff import init_params, render_grads
+from tpupt.render.diff import render_grads
 from tpupt.render.renderer import render_image
-from tpupt.scene.builder import Diffuse, ImageTexture, Metal, Scene
+from tpupt.scene.builder import Diffuse, ImageTexture, Scene
 
 
 def _hdr_scene(img, add_sphere=True):

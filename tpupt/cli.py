@@ -28,6 +28,18 @@ def main(argv=None):
         "(bit-identical to an uninterrupted render)",
     )
     ap.add_argument(
+        "--profile",
+        type=str,
+        default=None,
+        metavar="DIR",
+        help="write a jax.profiler trace of the render to DIR (view with XProf)",
+    )
+    ap.add_argument(
+        "--debug-checks",
+        action="store_true",
+        help="validate every launch's film for NaN/Inf and fail loudly",
+    )
+    ap.add_argument(
         "--hdr-env",
         action="store_true",
         help="full-f32 HDR environment + importance sampling (scenes 4 and 7; "
@@ -83,6 +95,8 @@ def main(argv=None):
         seed=args.seed,
         rays_per_launch=args.rays_per_launch,
         checkpoint_path=args.checkpoint,
+        profile_dir=args.profile,
+        debug_checks=args.debug_checks,
     )
     save_png(out_path, img)
     print(
