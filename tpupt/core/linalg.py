@@ -11,10 +11,11 @@ slow), so all device math here is f32 and the CPU oracle runs the same code unde
 from __future__ import annotations
 
 import jax.numpy as jnp
+from .dtypes import REAL
 
 EPS_OFFSET = 1e-3  # ray-origin offset along the geometric normal (bsdf/mod.rs:19)
 T_MIN = 1e-3  # minimum hit distance (camera.rs:171,179)
-BIG = jnp.float32(3.0e38)  # stand-in for +inf distances (keeps f32 arithmetic finite)
+BIG = REAL(3.0e38)  # stand-in for +inf distances (keeps f32 arithmetic finite)
 
 
 def dot(a, b):
@@ -73,7 +74,7 @@ def luminance(c):
     return 0.2126 * c[..., 0] + 0.7152 * c[..., 1] + 0.0722 * c[..., 2]
 
 
-def vec(x, y, z, dtype=jnp.float32):
+def vec(x, y, z, dtype=REAL):
     return jnp.stack(
         [jnp.asarray(x, dtype), jnp.asarray(y, dtype), jnp.asarray(z, dtype)], axis=-1
     )

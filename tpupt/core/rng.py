@@ -27,6 +27,7 @@ Draw-site counter map (one PCG4D call yields 4 independent uniforms):
 from __future__ import annotations
 
 import jax.numpy as jnp
+from .dtypes import REAL
 
 # Counter-space layout. Camera draws live below BOUNCE_BASE; each bounce owns
 # SLOTS_PER_BOUNCE consecutive counters.
@@ -74,7 +75,7 @@ def _pcg4d(a, b, c, d):
 
 def _to_unit_float(u):
     """uint32 -> float32 in [0, 1) using the top 24 bits."""
-    return (u >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    return (u >> jnp.uint32(8)).astype(REAL) * REAL(1.0 / (1 << 24))
 
 
 def uniform4(seed, pixel, sample, ctr):

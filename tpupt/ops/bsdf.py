@@ -31,8 +31,9 @@ from ..scene import data as D
 from . import sampling as S
 from .gather import take_rows
 from .texture import eval_scalar_texture, eval_texture
+from ..core.dtypes import REAL
 
-PI = jnp.float32(jnp.pi)
+PI = REAL(jnp.pi)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,8 +72,8 @@ def make_shade(sd: "D.SceneData", mat_id, u, v, point, ng, ns, front) -> Shade:
     mat_types = sd.mat_types if sd.mat_types else _ALL_TYPES
     # one fused row gather: [type, tex, rough_tex] + params
     head = jnp.stack(
-        [sd.mat_type.astype(jnp.float32), sd.mat_tex.astype(jnp.float32),
-         sd.mat_rough_tex.astype(jnp.float32)],
+        [sd.mat_type.astype(REAL), sd.mat_tex.astype(REAL),
+         sd.mat_rough_tex.astype(REAL)],
         axis=1,
     )
     rows = take_rows(jnp.concatenate([head, sd.mat_params], axis=1), mat_id)
@@ -419,7 +420,7 @@ def _principled_eval(sh: Shade, n, v_world, l_world):
     d_cc = S.gtr1_D(jnp.abs(l_dot_h), _principled_alpha_g(params))
     quarter = jnp.full_like(roughness, 0.25)
     g_cc = S.ggx_G(v, l, quarter)
-    r0_15 = S.r0_from_eta(jnp.float32(1.5))
+    r0_15 = S.r0_from_eta(REAL(1.5))
     f_cc = S.fresnel_schlick3(
         (jnp.full_like(lz, r0_15), jnp.full_like(lz, r0_15), jnp.full_like(lz, r0_15)), l_dot_h
     )

@@ -30,6 +30,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+from ..core.dtypes import NP_REAL
 
 LEAF_SIZE = 4  # matches the reference's leaf bound (bvh.rs:22)
 
@@ -130,8 +131,8 @@ def build_tri_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, native: bool =
             stack.append((a, mid))
 
     nodes = dict(
-        bmin=np.asarray(bmin, dtype=np.float32),
-        bmax=np.asarray(bmax, dtype=np.float32),
+        bmin=np.asarray(bmin, dtype=NP_REAL),
+        bmax=np.asarray(bmax, dtype=NP_REAL),
         skip=skip_arr,
         start=np.asarray(start, dtype=np.int32),
         count=np.asarray(count, dtype=np.int32),

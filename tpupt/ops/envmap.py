@@ -20,8 +20,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .texture import eval_texture
+from ..core.dtypes import REAL, NP_REAL
 
-PI = jnp.float32(jnp.pi)
+PI = REAL(jnp.pi)
 
 
 def _texel_from_dir(sd, direction):
@@ -67,8 +68,8 @@ def sample_env_light(sd, u1, u2):
     h = sd.env_wh[1]
     j = texel // w
     i = texel % w
-    theta = (j.astype(jnp.float32) + 0.5) / h * PI
-    phi = (i.astype(jnp.float32) + 0.5) / w * (2.0 * PI) - PI
+    theta = (j.astype(REAL) + 0.5) / h * PI
+    phi = (i.astype(REAL) + 0.5) / w * (2.0 * PI) - PI
     st = jnp.sin(theta)
     return (st * jnp.cos(phi), jnp.cos(theta), st * jnp.sin(phi))
 
@@ -119,4 +120,4 @@ def build_env_tables(img: np.ndarray):
     for i in large + small:
         prob[i] = 1.0
 
-    return alias, prob.astype(np.float32), pdf.astype(np.float32)
+    return alias, prob.astype(NP_REAL), pdf.astype(NP_REAL)

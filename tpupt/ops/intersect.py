@@ -31,6 +31,7 @@ from ..core import linalg as la
 from ..scene import data as D
 from .gather import take_rows
 from .texture import eval_texture
+from ..core.dtypes import REAL
 
 BIG = la.BIG
 
@@ -327,7 +328,7 @@ def _make_hit(sd, o, d, time, t, kind, idx, valid) -> Hit:
     # ---- sphere attributes (sphere.rs:52-56, 88-90) ----
     si = jnp.where(kind == KIND_SPHERE, idx, 0)
     sph_rows = take_rows(
-        jnp.concatenate([sd.sph_c1, sd.sph_c2, sd.sph_r[:, None], sd.sph_mat[:, None].astype(jnp.float32)], axis=1),
+        jnp.concatenate([sd.sph_c1, sd.sph_c2, sd.sph_r[:, None], sd.sph_mat[:, None].astype(REAL)], axis=1),
         si,
     )
     c1x, c1y, c1z, c2x, c2y, c2z = (sph_rows[..., j] for j in range(6))
@@ -348,7 +349,7 @@ def _make_hit(sd, o, d, time, t, kind, idx, valid) -> Hit:
     quad_rows = take_rows(
         jnp.concatenate(
             [sd.quad_q, sd.quad_u, sd.quad_v, sd.quad_w, sd.quad_n,
-             sd.quad_mat[:, None].astype(jnp.float32)],
+             sd.quad_mat[:, None].astype(REAL)],
             axis=1,
         ),
         qi,
@@ -384,8 +385,8 @@ def _make_hit(sd, o, d, time, t, kind, idx, valid) -> Hit:
     tri_attr = take_rows(
         jnp.concatenate(
             [sd.tri_n0, sd.tri_n1, sd.tri_n2, sd.tri_uv0, sd.tri_uv1, sd.tri_uv2,
-             sd.tri_has_uv[:, None].astype(jnp.float32),
-             sd.tri_mat[:, None].astype(jnp.float32)],
+             sd.tri_has_uv[:, None].astype(REAL),
+             sd.tri_mat[:, None].astype(REAL)],
             axis=1,
         ),
         ti,

@@ -25,8 +25,9 @@ import jax.numpy as jnp
 from ..core import linalg as la
 from ..scene import data as D
 from .gather import take_rows
+from ..core.dtypes import REAL
 
-TWO_PI = jnp.float32(2.0 * jnp.pi)
+TWO_PI = REAL(2.0 * jnp.pi)
 
 
 def sample_lights(sd: "D.SceneData", origin, time, u_pick, u1, u2):
@@ -179,8 +180,8 @@ def pdf_lights(sd: "D.SceneData", origin, direction, time):
         total = pdf_env_light(sd, direction)
         if n_geom:
             total = total + _sum_geom_light_pdfs(sd, o, d, time, n_geom)
-        return total / jnp.float32(n_geom + 1)
-    return _sum_geom_light_pdfs(sd, o, d, time, sd.n_lights) / jnp.float32(sd.n_lights)
+        return total / REAL(n_geom + 1)
+    return _sum_geom_light_pdfs(sd, o, d, time, sd.n_lights) / REAL(sd.n_lights)
 
 
 def _sum_geom_light_pdfs(sd: "D.SceneData", o, d, time, n):

@@ -18,8 +18,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core import linalg as la
+from ..core.dtypes import REAL
 
-PI = jnp.float32(jnp.pi)
+PI = REAL(jnp.pi)
 
 
 def cosine_sample_hemisphere(u1, u2):

@@ -15,17 +15,18 @@ import jax.numpy as jnp
 
 from ..scene import data as D
 from .gather import take_rows
+from ..core.dtypes import REAL
 
 
 def _tex_rows(sd, tid):
     """Fetch [type, rgb0..2, inv_scale, child0, child1, img0..2] rows for tid [B]."""
     table = jnp.concatenate(
         [
-            sd.tex_type.astype(jnp.float32)[:, None],
+            sd.tex_type.astype(REAL)[:, None],
             sd.tex_rgb,
             sd.tex_inv_scale[:, None],
-            sd.tex_child.astype(jnp.float32),
-            sd.tex_img.astype(jnp.float32),
+            sd.tex_child.astype(REAL),
+            sd.tex_img.astype(REAL),
         ],
         axis=1,
     )
@@ -42,7 +43,7 @@ def _image_lookup(sd, offset, w, h, u, v):
     j = jnp.minimum(jnp.floor(vv * h).astype(jnp.int32), h.astype(jnp.int32) - 1)
     idx = offset.astype(jnp.int32) + j * w.astype(jnp.int32) + i
     # atlas stores Rgb8; scale at lookup like the reference (texture.rs:84-90)
-    return jnp.take(sd.atlas, idx, axis=0).astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    return jnp.take(sd.atlas, idx, axis=0).astype(REAL) * REAL(1.0 / 255.0)
 
 
 def eval_texture(sd: "D.SceneData", tid, u, v, point):

@@ -29,6 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..render.integrator import trace_radiance
 from .sharding import shard_map
+from ..core.dtypes import REAL
 
 
 def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None):
@@ -94,7 +95,7 @@ def pod_sample_step(mesh: Mesh, max_depth: int, has_lights: bool):
             )
             film = radiance.reshape(k_per_chip, pb, 3).sum(axis=0)
             film = jax.lax.psum(film, ("chip", "host"))  # ICI first, then DCN
-            rays = jax.lax.psum(rays.astype(jnp.float32), ("chip", "host"))
+            rays = jax.lax.psum(rays.astype(REAL), ("chip", "host"))
             return film, rays
 
         return jax.jit(step)

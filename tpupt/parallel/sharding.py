@@ -42,6 +42,7 @@ def shard_map(f=None, **kw):
     return _shard_map(f, **kw)
 
 from ..render.integrator import trace_radiance
+from ..core.dtypes import REAL
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -89,7 +90,7 @@ def sharded_sample_step(mesh: Mesh, max_depth: int, has_lights: bool, width: int
             film = radiance.reshape(k_per_device, pb, 3).sum(axis=0)
             # all-reduce the film over the mesh: every device ends with the full sum
             film = jax.lax.psum(film, "samples")
-            rays = jax.lax.psum(rays.astype(jnp.float32), "samples")
+            rays = jax.lax.psum(rays.astype(REAL), "samples")
             return film, rays
 
         return jax.jit(sharded)

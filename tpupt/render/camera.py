@@ -16,6 +16,7 @@ import numpy as np
 from ..core import linalg as la
 from ..core import rng
 from ..scene.data import CameraData
+from ..core.dtypes import REAL
 
 
 @dataclasses.dataclass
@@ -66,7 +67,7 @@ class Camera:
 
         defocus_radius = math.tan(math.radians(self.defocus_angle / 2.0)) * self.focal_length
 
-        f32 = jnp.float32
+        f32 = REAL
         return CameraData(
             center=jnp.asarray(look_from, f32),
             pixel00=jnp.asarray(pixel00, f32),
@@ -82,7 +83,7 @@ class Camera:
 def _unit_disk(u_radius, u_angle):
     """Camera::random_offsets (camera.rs:132-138): r = sqrt(u), angle uniform."""
     radius = jnp.sqrt(u_radius)
-    angle = u_angle * (2.0 * jnp.float32(jnp.pi))
+    angle = u_angle * (2.0 * REAL(jnp.pi))
     return radius * jnp.cos(angle), radius * jnp.sin(angle)
 
 
@@ -100,8 +101,8 @@ def generate_rays(cam: CameraData, rows, cols, pixel_ids, sample_ids, seed):
     by = by * cam.blur_strength
     loc = (
         cam.pixel00
-        + cam.pixel_dv * (rows.astype(jnp.float32) + bx)[..., None]
-        + cam.pixel_du * (cols.astype(jnp.float32) + by)[..., None]
+        + cam.pixel_dv * (rows.astype(REAL) + bx)[..., None]
+        + cam.pixel_du * (cols.astype(REAL) + by)[..., None]
     )
 
     px, py = _unit_disk(d1, d2)

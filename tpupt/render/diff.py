@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .integrator import bounce_step
+from ..core.dtypes import REAL
 
 
 # SceneData leaves exposed as differentiable parameters.
@@ -74,14 +75,14 @@ def trace_radiance_scan(
 
     o, d, time = generate_rays(cam, rows, cols, pixel_ids, sample_ids, seed)
     b = pixel_ids.shape[0]
-    p_light = jnp.float32(0.5 if has_lights else 0.0)
-    p_bsdf = jnp.float32(1.0) - p_light
+    p_light = REAL(0.5 if has_lights else 0.0)
+    p_bsdf = REAL(1.0) - p_light
 
     state = (
         o,
         d,
-        jnp.ones((b, 3), jnp.float32),  # throughput
-        jnp.zeros((b, 3), jnp.float32),  # radiance
+        jnp.ones((b, 3), REAL),  # throughput
+        jnp.zeros((b, 3), REAL),  # radiance
         jnp.ones((b,), bool),  # alive
     )
 
@@ -153,10 +154,10 @@ def render_grads(
 
     npix = len(pixel_ids)
     if cotangent is None:
-        cot = jnp.ones((npix, spp, 3), jnp.float32) / spp
+        cot = jnp.ones((npix, spp, 3), REAL) / spp
     else:
         cot = jnp.broadcast_to(
-            jnp.asarray(cotangent, jnp.float32)[:, None, :], (npix, spp, 3)
+            jnp.asarray(cotangent, REAL)[:, None, :], (npix, spp, 3)
         ) / spp
 
     params = init_params(compiled.data)

@@ -35,10 +35,11 @@ from ..ops import lights as light_ops
 from ..ops.bsdf import bsdf_eval, bsdf_pdf, bsdf_sample, make_shade
 from ..ops.envmap import sample_environment
 from ..ops.intersect import closest_hit
+from ..core.dtypes import REAL
 
-T_MIN = jnp.float32(1e-3)  # camera.rs:171
+T_MIN = REAL(1e-3)  # camera.rs:171
 T_MAX = la.BIG
-EPS = jnp.float32(1e-3)  # bsdf/mod.rs:19
+EPS = REAL(1e-3)  # bsdf/mod.rs:19
 MIN_BOUNCES = 5  # camera.rs:172
 
 
@@ -166,16 +167,16 @@ def trace_radiance(sd, cam, pixel_ids, rows, cols, sample_ids, seed, max_depth, 
 
     o, d, time = generate_rays(cam, rows, cols, pixel_ids, sample_ids, seed)
     b = pixel_ids.shape[0]
-    p_light = jnp.float32(0.5 if has_lights else 0.0)
-    p_bsdf = jnp.float32(1.0) - p_light
+    p_light = REAL(0.5 if has_lights else 0.0)
+    p_bsdf = REAL(1.0) - p_light
 
     state = dict(
         bounce=jnp.int32(0),
         o=o,
         d=d,
         time=time,
-        throughput=jnp.ones((b, 3), jnp.float32),
-        radiance=jnp.zeros((b, 3), jnp.float32),
+        throughput=jnp.ones((b, 3), REAL),
+        radiance=jnp.zeros((b, 3), REAL),
         alive=jnp.ones((b,), bool),
         rays=jnp.uint32(0),
     )
@@ -230,18 +231,18 @@ def trace_film_streamed(
     from .camera import generate_rays
 
     b = pixel_ids.shape[0]
-    p_light = jnp.float32(0.5 if has_lights else 0.0)
-    p_bsdf = jnp.float32(1.0) - p_light
-    zero3 = jnp.zeros((b, 3), jnp.float32)
+    p_light = REAL(0.5 if has_lights else 0.0)
+    p_bsdf = REAL(1.0) - p_light
+    zero3 = jnp.zeros((b, 3), REAL)
 
     state = dict(
         o=zero3,
-        d=jnp.concatenate([jnp.zeros((b, 2), jnp.float32), jnp.ones((b, 1), jnp.float32)], -1),
-        time=jnp.zeros((b,), jnp.float32),
+        d=jnp.concatenate([jnp.zeros((b, 2), REAL), jnp.ones((b, 1), REAL)], -1),
+        time=jnp.zeros((b,), REAL),
         bounce=jnp.zeros((b,), jnp.int32),
         sample=jnp.zeros((b,), jnp.int32),  # per-lane sample cursor (samples started)
         cur_sample=jnp.zeros((b,), jnp.int32),  # sample id of the in-flight path
-        throughput=jnp.ones((b, 3), jnp.float32),
+        throughput=jnp.ones((b, 3), REAL),
         radiance=zero3,
         film=zero3,
         alive=jnp.zeros((b,), bool),

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.dtypes import NP_REAL
 from ..scene.compile import CompiledScene
 from .camera import Camera
 from .film import tonemap_quantize
@@ -218,4 +219,4 @@ def _render_loop(
 
     stats.wall_s = _time.perf_counter() - t0
     mean = (film / spp).reshape(h, w, 3)
-    return tonemap_quantize(mean), mean.astype(np.float32), stats
+    return tonemap_quantize(mean), mean.astype(NP_REAL), stats

@@ -13,6 +13,7 @@ import numpy as np
 
 from . import builder as B
 from . import data as D
+from ..core.dtypes import NP_REAL
 
 
 def _intern_texture(tex, tables) -> int:
@@ -170,11 +171,11 @@ def compile_scene(scene: "B.Scene", bvh: bool | None = None) -> CompiledScene:
 
     # environment must be interned before padding defaults
     env_is_hdr = False
-    env_img = np.zeros((1, 3), dtype=np.float32)
+    env_img = np.zeros((1, 3), dtype=NP_REAL)
     env_wh = np.array([1, 1], dtype=np.int32)
     env_alias = np.zeros(1, dtype=np.int32)
-    env_prob = np.ones(1, dtype=np.float32)
-    env_pdf = np.full(1, 1.0 / (4.0 * np.pi), dtype=np.float32)
+    env_prob = np.ones(1, dtype=NP_REAL)
+    env_pdf = np.full(1, 1.0 / (4.0 * np.pi), dtype=NP_REAL)
     if isinstance(scene.environment, B.ImageTexture) and scene.environment.hdr:
         # NEW capability (BASELINE.json): full f32 HDR env + importance sampling.
         # The reference would quantize this map to u8 (texture.rs:67) and never
@@ -184,9 +185,9 @@ def compile_scene(scene: "B.Scene", bvh: bool | None = None) -> CompiledScene:
 
         src = scene.environment.path
         img = (
-            np.asarray(src, dtype=np.float32)
+            np.asarray(src, dtype=NP_REAL)
             if isinstance(src, np.ndarray)
-            else load_image_f32(src).astype(np.float32)
+            else load_image_f32(src).astype(NP_REAL)
         )
         h, w = img.shape[:2]
         env_alias, env_prob, env_pdf = build_env_tables(img)
@@ -194,13 +195,13 @@ def compile_scene(scene: "B.Scene", bvh: bool | None = None) -> CompiledScene:
         env_wh = np.array([w, h], dtype=np.int32)
         env_is_hdr = True
         env_tex_id = -1
-        env_color = np.zeros(3, dtype=np.float32)
+        env_color = np.zeros(3, dtype=NP_REAL)
     elif isinstance(scene.environment, B.ImageTexture):
         env_tex_id = _intern_texture(scene.environment, tables)
-        env_color = np.zeros(3, dtype=np.float32)
+        env_color = np.zeros(3, dtype=NP_REAL)
     else:
         env_tex_id = -1
-        env_color = np.asarray(scene.environment, dtype=np.float32)
+        env_color = np.asarray(scene.environment, dtype=NP_REAL)
 
     # objects first, then lights: ties go to objects (world.rs:56-60 uses strict <)
     for rec in scene.objects:
@@ -208,7 +209,7 @@ def compile_scene(scene: "B.Scene", bvh: bool | None = None) -> CompiledScene:
     for rec in scene.lights:
         _emit_geometry(rec, tables, is_light=True)
 
-    f32 = np.float32
+    f32 = NP_REAL
 
     def _pad_to_block(rows, pad_row):
         """Pad a table to the intersect sweep's block multiple (8, or 256 if large)."""
