@@ -1,0 +1,172 @@
+"""SAH cluster packet kernel (ops/pallas_tri.py): packing invariants + hit-for-hit
+parity with the dense sweep oracle (interpret mode on CPU)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpupt.io.obj import load_obj
+from tpupt.ops.bvh import CLUSTER_MAX, build_tri_bvh_sah
+from tpupt.ops.intersect import closest_hit
+from tpupt.ops.pallas_tri import BIG_IDF, N_FIELDS, pack_clusters
+from tpupt.scene.builder import Diffuse, Scene
+
+BUNNY = "/root/reference/assets/bunny.obj"
+
+
+def _bunny_sd():
+    s = Scene()
+    s.add_mesh(load_obj(BUNNY), Diffuse((0.7, 0.7, 0.7)), scale=20.0)
+    s.environment = (1.0, 1.0, 1.0)
+    return s.compile().data
+
+
+def test_sah_build_invariants():
+    rng = np.random.default_rng(0)
+    n = 777
+    v0 = rng.normal(size=(n, 3)).astype(np.float32)
+    e1 = rng.normal(size=(n, 3)).astype(np.float32) * 0.1
+    e2 = rng.normal(size=(n, 3)).astype(np.float32) * 0.1
+    order, nodes, cl = build_tri_bvh_sah(v0, e1, e2, native=False)
+    assert sorted(order.tolist()) == list(range(n))
+    m = nodes["count"].shape[0]
+    leaf = nodes["count"] > 0
+    covered = np.zeros(n, dtype=int)
+    for s_, c in zip(nodes["start"][leaf], nodes["count"][leaf]):
+        covered[s_ : s_ + c] += 1
+    assert (covered == 1).all()
+    assert nodes["skip"][0] == m
+    assert (nodes["skip"] > np.arange(m)).all() and (nodes["skip"] <= m).all()
+    # clusters: contiguous cover of [0, n), each <= CLUSTER_MAX
+    cs, cc = cl["start"], cl["count"]
+    assert cs[0] == 0 and (cs[1:] == cs[:-1] + cc[:-1]).all() and cs[-1] + cc[-1] == n
+    assert (cc >= 1).all() and (cc <= CLUSTER_MAX).all()
+    # cluster AABBs contain their triangles
+    v0o, e1o, e2o = v0[order], e1[order], e2[order]
+    for i in range(len(cs)):
+        pts = np.concatenate(
+            [v0o[cs[i] : cs[i] + cc[i]], (v0o + e1o)[cs[i] : cs[i] + cc[i]],
+             (v0o + e2o)[cs[i] : cs[i] + cc[i]]]
+        )
+        assert (pts >= cl["bmin"][i] - 1e-4).all() and (pts <= cl["bmax"][i] + 1e-4).all()
+
+
+def test_pack_clusters_layout():
+    rng = np.random.default_rng(3)
+    n = 200
+    v0 = rng.normal(size=(n, 3)).astype(np.float32)
+    e1 = rng.normal(size=(n, 3)).astype(np.float32) * 0.1
+    e2 = rng.normal(size=(n, 3)).astype(np.float32) * 0.1
+    order, _, cl = build_tri_bvh_sah(v0, e1, e2, native=False)
+    v0o, e1o, e2o = v0[order], e1[order], e2[order]
+    cl_box, pk, pk2, sc_box = pack_clusters(v0o, e1o, e2o, cl)
+    assert cl_box.shape[0] % 8 == 0 and pk.shape == (cl_box.shape[0] * 8, 128)
+    assert pk2.shape == pk.shape
+    # supercluster AABBs contain their clusters
+    for s in range(sc_box.shape[0]):
+        lo_r, hi_r = s * 64, min((s + 1) * 64, len(cl["start"]))
+        if lo_r >= hi_r:
+            continue
+        assert (sc_box[s, 0:3] <= cl["bmin"][lo_r:hi_r] + 1e-5).all()
+        assert (sc_box[s, 3:6] >= cl["bmax"][lo_r:hi_r] - 1e-5).all()
+    # every real triangle appears exactly once at the slot its id says
+    seen = np.zeros(n, dtype=int)
+    for c in range(len(cl["start"])):
+        for local in range(64):
+            row, lane = c * 8 + local % 8, (local // 8) * N_FIELDS
+            gid = pk[row, lane + 9]
+            if gid < BIG_IDF:
+                gid = int(gid)
+                seen[gid] += 1
+                np.testing.assert_allclose(pk[row, lane : lane + 3], v0o[gid], rtol=1e-6)
+                np.testing.assert_allclose(pk[row, lane + 3 : lane + 6], e1o[gid], rtol=1e-6)
+                np.testing.assert_allclose(pk[row, lane + 6 : lane + 9], e2o[gid], rtol=1e-6)
+    assert (seen == 1).all()
+
+
+def test_cluster_kernel_matches_sweep_on_bunny():
+    sd = _bunny_sd()
+    sd_cl = dataclasses.replace(sd, has_tri_bvh=False, has_tri_clusters=True)
+    sd_sw = dataclasses.replace(sd, has_tri_bvh=False, has_tri_clusters=False)
+
+    rng = np.random.default_rng(1)
+    b = 4096
+    o = rng.normal(size=(b, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=1, keepdims=True) * 8.0
+    d = rng.normal(size=(b, 3)).astype(np.float32) * 1.5 - o
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    time = jnp.zeros((b,), jnp.float32)
+    tmin, tmax = jnp.float32(1e-3), jnp.float32(3e38)
+
+    h_cl = jax.jit(lambda: closest_hit(sd_cl, o, d, time, tmin, tmax))()
+    h_sw = jax.jit(lambda: closest_hit(sd_sw, o, d, time, tmin, tmax))()
+
+    np.testing.assert_array_equal(np.asarray(h_cl.valid), np.asarray(h_sw.valid))
+    hv = np.asarray(h_sw.valid)
+    assert hv.mean() > 0.1
+    np.testing.assert_allclose(
+        np.asarray(h_cl.t)[hv], np.asarray(h_sw.t)[hv], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(h_cl.ng)[hv], np.asarray(h_sw.ng)[hv], atol=1e-5)
+    assert (np.asarray(h_cl.mat_id) == np.asarray(h_sw.mat_id)).all()
+
+
+def test_cluster_kernel_seeded_best_t():
+    """With t_in seeding (sphere/quad winner), only strictly closer triangles
+    are reported — exercised through closest_hit on a mixed scene."""
+    s = Scene()
+    s.add_mesh(load_obj(BUNNY), Diffuse((0.7, 0.7, 0.7)), scale=20.0)
+    # a big sphere in front of part of the bunny
+    s.add_sphere(1.0, (0.0, 1.0, 3.0), Diffuse((0.5, 0.5, 0.5)))
+    s.environment = (1.0, 1.0, 1.0)
+    sd = s.compile().data
+    sd_cl = dataclasses.replace(sd, has_tri_bvh=False, has_tri_clusters=True)
+    sd_sw = dataclasses.replace(sd, has_tri_bvh=False, has_tri_clusters=False)
+
+    rng = np.random.default_rng(7)
+    b = 2048
+    o = np.tile(np.array([[0.0, 1.0, 8.0]], np.float32), (b, 1))
+    tgt = rng.normal(size=(b, 3)).astype(np.float32) * np.array([2, 1.5, 1], np.float32)
+    d = tgt + np.array([0, 1, 0], np.float32) - o
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    time = jnp.zeros((b,), jnp.float32)
+    h_cl = jax.jit(lambda: closest_hit(sd_cl, o, d, time, jnp.float32(1e-3), jnp.float32(3e38)))()
+    h_sw = jax.jit(lambda: closest_hit(sd_sw, o, d, time, jnp.float32(1e-3), jnp.float32(3e38)))()
+    np.testing.assert_array_equal(np.asarray(h_cl.valid), np.asarray(h_sw.valid))
+    np.testing.assert_array_equal(np.asarray(h_cl.mat_id), np.asarray(h_sw.mat_id))
+    hv = np.asarray(h_sw.valid)
+    np.testing.assert_allclose(
+        np.asarray(h_cl.t)[hv], np.asarray(h_sw.t)[hv], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_cluster_render_matches_sweep():
+    """Full integrator parity on a mesh scene with the cluster kernel."""
+    from tpupt.render.camera import Camera
+    from tpupt.render.renderer import render_image
+    from tpupt.scene.compile import CompiledScene
+
+    s = Scene()
+    s.add_mesh(load_obj(BUNNY), Diffuse((0.7, 0.7, 0.7)), scale=20.0)
+    s.environment = (1.0, 1.0, 1.0)
+    compiled = s.compile()
+    cam = Camera(
+        aspect_ratio=1.0, image_width=12, samples_per_pixel=8, max_depth=6,
+        vfov=35.0, look_from=(0.0, 1.0, 6.0), look_at=(0.0, 1.0, 0.0),
+        blur_strength=0.5, focal_length=5.0, defocus_angle=0.0,
+    )
+    cl = CompiledScene(
+        dataclasses.replace(compiled.data, has_tri_bvh=False, has_tri_clusters=True),
+        compiled.has_lights,
+    )
+    sw = CompiledScene(
+        dataclasses.replace(compiled.data, has_tri_bvh=False, has_tri_clusters=False),
+        compiled.has_lights,
+    )
+    _, m_cl, _ = render_image(cl, cam, rays_per_launch=1 << 14, progress=False)
+    _, m_sw, _ = render_image(sw, cam, rays_per_launch=1 << 14, progress=False)
+    np.testing.assert_allclose(m_cl, m_sw, rtol=1e-4, atol=1e-4)

@@ -51,6 +51,14 @@ def _build_and_load():
         lib.obj_free.argtypes = [ctypes.c_void_p]
         lib.bvh_build.restype = ctypes.c_void_p
         lib.bvh_build.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.bvh_build_sah.restype = ctypes.c_void_p
+        lib.bvh_build_sah.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.bvh_num_nodes_sah.restype = ctypes.c_int64
+        lib.bvh_num_nodes_sah.argtypes = [ctypes.c_void_p]
+        lib.bvh_num_clusters.restype = ctypes.c_int64
+        lib.bvh_num_clusters.argtypes = [ctypes.c_void_p]
+        lib.bvh_copy_sah.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 10
+        lib.bvh_free_sah.argtypes = [ctypes.c_void_p]
         lib.bvh_num_nodes.restype = ctypes.c_int64
         lib.bvh_num_nodes.argtypes = [ctypes.c_void_p]
         lib.bvh_copy.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
@@ -101,6 +109,57 @@ def parse_obj(path: str):
         }
     finally:
         lib.obj_free(h)
+
+
+def build_tri_bvh_sah(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
+    """Native binned-SAH build -> (order, nodes, clusters) like
+    ops.bvh.build_tri_bvh_sah, or None to fall back to the numpy builder."""
+    lib = _build_and_load()
+    if lib is None or not hasattr(lib, "bvh_build_sah"):
+        return None
+    v0 = np.ascontiguousarray(v0, np.float32)
+    e1 = np.ascontiguousarray(e1, np.float32)
+    e2 = np.ascontiguousarray(e2, np.float32)
+    n = v0.shape[0]
+    h = lib.bvh_build_sah(
+        v0.ctypes.data_as(ctypes.c_void_p),
+        e1.ctypes.data_as(ctypes.c_void_p),
+        e2.ctypes.data_as(ctypes.c_void_p),
+        n,
+    )
+    if not h:
+        return None
+    try:
+        m = lib.bvh_num_nodes_sah(h)
+        c = lib.bvh_num_clusters(h)
+        order = np.empty(n, np.int32)
+        bmin = np.empty((m, 3), np.float32)
+        bmax = np.empty((m, 3), np.float32)
+        skip = np.empty(m, np.int32)
+        start = np.empty(m, np.int32)
+        count = np.empty(m, np.int32)
+        cl_start = np.empty(c, np.int32)
+        cl_count = np.empty(c, np.int32)
+        cl_min = np.empty((c, 3), np.float32)
+        cl_max = np.empty((c, 3), np.float32)
+        lib.bvh_copy_sah(
+            h,
+            order.ctypes.data_as(ctypes.c_void_p),
+            bmin.ctypes.data_as(ctypes.c_void_p),
+            bmax.ctypes.data_as(ctypes.c_void_p),
+            skip.ctypes.data_as(ctypes.c_void_p),
+            start.ctypes.data_as(ctypes.c_void_p),
+            count.ctypes.data_as(ctypes.c_void_p),
+            cl_start.ctypes.data_as(ctypes.c_void_p),
+            cl_count.ctypes.data_as(ctypes.c_void_p),
+            cl_min.ctypes.data_as(ctypes.c_void_p),
+            cl_max.ctypes.data_as(ctypes.c_void_p),
+        )
+        nodes = dict(bmin=bmin, bmax=bmax, skip=skip, start=start, count=count)
+        clusters = dict(start=cl_start, count=cl_count, bmin=cl_min, bmax=cl_max)
+        return order, nodes, clusters
+    finally:
+        lib.bvh_free_sah(h)
 
 
 def build_tri_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):

@@ -276,6 +276,237 @@ void* bvh_build(const float* v0, const float* e1, const float* e2, int64_t n) {
   return out;
 }
 
+// ---------------------------------------------------------------------------
+// binned-SAH build + cluster cut (mirrors ops/bvh.py build_tri_bvh_sah exactly:
+// same f64 bin/cost math, same emission order, same greedy cluster merge).
+// The production path for scene compilation; the numpy twin is the test oracle.
+// ---------------------------------------------------------------------------
+
+static const int SAH_BINS = 16;
+static const int CLUSTER_MAX = 64;
+
+struct SahOut {
+  std::vector<int32_t> order;
+  std::vector<float> bmin, bmax;  // M*3
+  std::vector<int32_t> skip, start, count;
+  std::vector<int32_t> cl_start, cl_count;
+  std::vector<float> cl_min, cl_max;  // C*3
+};
+
+static double half_area(const double lo[3], const double hi[3]) {
+  double d[3];
+  for (int c = 0; c < 3; c++) d[c] = std::max(hi[c] - lo[c], 0.0);
+  return d[0] * d[1] + d[1] * d[2] + d[2] * d[0];
+}
+
+void* bvh_build_sah(const float* v0, const float* e1, const float* e2, int64_t n) {
+  auto* out = new SahOut();
+  const double pad = 1e-3;
+
+  std::vector<double> lo(n * 3), hi(n * 3), cen(n * 3);
+  for (int64_t i = 0; i < n; i++)
+    for (int c = 0; c < 3; c++) {
+      // f32 min/max AND f32 pad subtraction (numpy: f32 arrays - python float
+      // stays f32, then .astype(f64)) — bit-parity with ops/bvh.py
+      float a = v0[i * 3 + c];
+      float b = a + e1[i * 3 + c];
+      float d = a + e2[i * 3 + c];
+      double l = (double)(std::min(a, std::min(b, d)) - (float)pad);
+      double h = (double)(std::max(a, std::max(b, d)) + (float)pad);
+      lo[i * 3 + c] = l;
+      hi[i * 3 + c] = h;
+      cen[i * 3 + c] = 0.5 * (l + h);
+    }
+
+  std::vector<int64_t> idx(n);
+  for (int64_t i = 0; i < n; i++) idx[i] = i;
+
+  struct Frame { int64_t a, b; bool close; bool in_cluster; };
+  std::vector<Frame> work;
+  work.push_back({0, n, false, false});
+
+  while (!work.empty()) {
+    Frame fr = work.back();
+    work.pop_back();
+    if (fr.close) {  // fr.a = node id
+      out->skip[fr.a] = (int32_t)out->count.size();
+      continue;
+    }
+    int64_t a = fr.a, b = fr.b;
+    int64_t node_id = (int64_t)out->count.size();
+    double nlo[3] = {1e300, 1e300, 1e300}, nhi[3] = {-1e300, -1e300, -1e300};
+    for (int64_t i = a; i < b; i++)
+      for (int c = 0; c < 3; c++) {
+        nlo[c] = std::min(nlo[c], lo[idx[i] * 3 + c]);
+        nhi[c] = std::max(nhi[c], hi[idx[i] * 3 + c]);
+      }
+    for (int c = 0; c < 3; c++) {
+      out->bmin.push_back((float)nlo[c]);
+      out->bmax.push_back((float)nhi[c]);
+    }
+    out->skip.push_back(0);
+    work.push_back({node_id, 0, true, false});
+    bool in_cluster = fr.in_cluster;
+    if (!in_cluster && (b - a) <= CLUSTER_MAX) {
+      out->cl_start.push_back((int32_t)a);
+      out->cl_count.push_back((int32_t)(b - a));
+      for (int c = 0; c < 3; c++) out->cl_min.push_back((float)nlo[c]);
+      for (int c = 0; c < 3; c++) out->cl_max.push_back((float)nhi[c]);
+      in_cluster = true;
+    }
+    if (b - a <= LEAF_SIZE) {
+      out->start.push_back((int32_t)a);
+      out->count.push_back((int32_t)(b - a));
+      continue;
+    }
+    out->start.push_back(0);
+    out->count.push_back(0);
+
+    // ---- binned SAH split over idx[a:b] ----
+    int64_t m = b - a;
+    double cmin[3] = {1e300, 1e300, 1e300}, cmax[3] = {-1e300, -1e300, -1e300};
+    for (int64_t i = a; i < b; i++)
+      for (int c = 0; c < 3; c++) {
+        double v = cen[idx[i] * 3 + c];
+        cmin[c] = std::min(cmin[c], v);
+        cmax[c] = std::max(cmax[c], v);
+      }
+    double best_cost = 1e300;
+    int best_axis = -1, best_s = -1;
+    std::vector<int> bins(m);
+    std::vector<int> best_bins(m);
+    for (int axis = 0; axis < 3; axis++) {
+      double ext = cmax[axis] - cmin[axis];
+      if (ext < 1e-12) continue;
+      double scale = SAH_BINS / ext;
+      int64_t counts[SAH_BINS] = {0};
+      double blo[SAH_BINS][3], bhi[SAH_BINS][3];
+      for (int k = 0; k < SAH_BINS; k++)
+        for (int c = 0; c < 3; c++) { blo[k][c] = 1e300; bhi[k][c] = -1e300; }
+      for (int64_t i = 0; i < m; i++) {
+        int64_t t = idx[a + i];
+        int k = (int)std::min((int64_t)((cen[t * 3 + axis] - cmin[axis]) * scale),
+                              (int64_t)(SAH_BINS - 1));
+        bins[i] = k;
+        counts[k]++;
+        for (int c = 0; c < 3; c++) {
+          blo[k][c] = std::min(blo[k][c], lo[t * 3 + c]);
+          bhi[k][c] = std::max(bhi[k][c], hi[t * 3 + c]);
+        }
+      }
+      double plo[SAH_BINS][3], phi[SAH_BINS][3], qlo[SAH_BINS][3], qhi[SAH_BINS][3];
+      int64_t pc[SAH_BINS];
+      for (int c = 0; c < 3; c++) { plo[0][c] = blo[0][c]; phi[0][c] = bhi[0][c]; }
+      pc[0] = counts[0];
+      for (int k = 1; k < SAH_BINS; k++) {
+        pc[k] = pc[k - 1] + counts[k];
+        for (int c = 0; c < 3; c++) {
+          plo[k][c] = std::min(plo[k - 1][c], blo[k][c]);
+          phi[k][c] = std::max(phi[k - 1][c], bhi[k][c]);
+        }
+      }
+      for (int c = 0; c < 3; c++) {
+        qlo[SAH_BINS - 1][c] = blo[SAH_BINS - 1][c];
+        qhi[SAH_BINS - 1][c] = bhi[SAH_BINS - 1][c];
+      }
+      for (int k = SAH_BINS - 2; k >= 0; k--)
+        for (int c = 0; c < 3; c++) {
+          qlo[k][c] = std::min(qlo[k + 1][c], blo[k][c]);
+          qhi[k][c] = std::max(qhi[k + 1][c], bhi[k][c]);
+        }
+      for (int s = 0; s < SAH_BINS - 1; s++) {
+        int64_t nl = pc[s], nr = m - nl;
+        if (nl == 0 || nr == 0) continue;
+        double cost = half_area(plo[s], phi[s]) * nl + half_area(qlo[s + 1], qhi[s + 1]) * nr;
+        if (cost < best_cost) {
+          best_cost = cost;
+          best_axis = axis;
+          best_s = s;
+          best_bins = bins;
+        }
+      }
+    }
+    std::vector<int64_t> left, right;
+    left.reserve(m);
+    right.reserve(m);
+    if (best_axis >= 0) {
+      for (int64_t i = 0; i < m; i++)
+        (best_bins[i] <= best_s ? left : right).push_back(idx[a + i]);
+    } else {
+      // degenerate: median split on the largest axis (stable by centroid)
+      int axis = 0;
+      double ebest = cmax[0] - cmin[0];
+      for (int c = 1; c < 3; c++)
+        if (cmax[c] - cmin[c] > ebest) { ebest = cmax[c] - cmin[c]; axis = c; }
+      std::vector<int64_t> ord(m);
+      for (int64_t i = 0; i < m; i++) ord[i] = i;
+      std::stable_sort(ord.begin(), ord.end(), [&](int64_t x, int64_t y) {
+        return cen[idx[a + x] * 3 + axis] < cen[idx[a + y] * 3 + axis];
+      });
+      std::vector<char> mask(m, 0);
+      for (int64_t i = 0; i < m / 2; i++) mask[ord[i]] = 1;
+      for (int64_t i = 0; i < m; i++)
+        (mask[i] ? left : right).push_back(idx[a + i]);
+    }
+    for (size_t i = 0; i < left.size(); i++) idx[a + i] = left[i];
+    for (size_t i = 0; i < right.size(); i++) idx[a + left.size() + i] = right[i];
+    int64_t mid = a + (int64_t)left.size();
+    work.push_back({mid, b, false, in_cluster});  // right below left
+    work.push_back({a, mid, false, in_cluster});
+  }
+
+  out->order.resize(n);
+  for (int64_t i = 0; i < n; i++) out->order[i] = (int32_t)idx[i];
+
+  // greedy merge of adjacent clusters (ops/bvh.py _merge_clusters)
+  {
+    std::vector<int32_t> ms, mc;
+    std::vector<float> mlo, mhi;
+    size_t nc = out->cl_start.size();
+    for (size_t i = 0; i < nc; i++) {
+      if (!ms.empty() && mc.back() + out->cl_count[i] <= CLUSTER_MAX) {
+        mc.back() += out->cl_count[i];
+        for (int c = 0; c < 3; c++) {
+          size_t j = (ms.size() - 1) * 3 + c;
+          mlo[j] = std::min(mlo[j], out->cl_min[i * 3 + c]);
+          mhi[j] = std::max(mhi[j], out->cl_max[i * 3 + c]);
+        }
+      } else {
+        ms.push_back(out->cl_start[i]);
+        mc.push_back(out->cl_count[i]);
+        for (int c = 0; c < 3; c++) mlo.push_back(out->cl_min[i * 3 + c]);
+        for (int c = 0; c < 3; c++) mhi.push_back(out->cl_max[i * 3 + c]);
+      }
+    }
+    out->cl_start = ms;
+    out->cl_count = mc;
+    out->cl_min = mlo;
+    out->cl_max = mhi;
+  }
+  return out;
+}
+
+int64_t bvh_num_clusters(void* h) { return (int64_t)((SahOut*)h)->cl_start.size(); }
+int64_t bvh_num_nodes_sah(void* h) { return (int64_t)((SahOut*)h)->count.size(); }
+
+void bvh_copy_sah(void* h, int32_t* order, float* bmin, float* bmax, int32_t* skip,
+                  int32_t* start, int32_t* count, int32_t* cl_start, int32_t* cl_count,
+                  float* cl_min, float* cl_max) {
+  auto* o = (SahOut*)h;
+  memcpy(order, o->order.data(), o->order.size() * sizeof(int32_t));
+  memcpy(bmin, o->bmin.data(), o->bmin.size() * sizeof(float));
+  memcpy(bmax, o->bmax.data(), o->bmax.size() * sizeof(float));
+  memcpy(skip, o->skip.data(), o->skip.size() * sizeof(int32_t));
+  memcpy(start, o->start.data(), o->start.size() * sizeof(int32_t));
+  memcpy(count, o->count.data(), o->count.size() * sizeof(int32_t));
+  memcpy(cl_start, o->cl_start.data(), o->cl_start.size() * sizeof(int32_t));
+  memcpy(cl_count, o->cl_count.data(), o->cl_count.size() * sizeof(int32_t));
+  memcpy(cl_min, o->cl_min.data(), o->cl_min.size() * sizeof(float));
+  memcpy(cl_max, o->cl_max.data(), o->cl_max.size() * sizeof(float));
+}
+
+void bvh_free_sah(void* h) { delete (SahOut*)h; }
+
 int64_t bvh_num_nodes(void* h) { return (int64_t)((BvhOut*)h)->count.size(); }
 
 void bvh_copy(void* h, int32_t* order, float* bmin, float* bmax, int32_t* skip,

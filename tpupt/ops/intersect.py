@@ -269,7 +269,7 @@ def closest_hit(sd: "D.SceneData", o, d, time, tmin, tmax) -> Hit:
         from .pallas_hit import pallas_closest_sphere_quad
 
         t_sq, kind_sq, idx_sq = pallas_closest_sphere_quad(
-            sd, o, d, time, interpret=jax.default_backend() != "tpu"
+            sd, o, d, time, tmin=tmin, interpret=jax.default_backend() != "tpu"
         )
         t_s = jnp.where(kind_sq == KIND_SPHERE, t_sq, BIG)
         i_s = jnp.where(kind_sq == KIND_SPHERE, idx_sq, 0)
@@ -282,7 +282,19 @@ def closest_hit(sd: "D.SceneData", o, d, time, tmin, tmax) -> Hit:
         t_q, i_q = sweep_kind(
             nq, lambda i, blk: _quad_block(sd, i, blk, ox, oy, oz, dx, dy, dz, tmin, tmax)
         )
-    if sd.has_tri_bvh:
+    tri_aux = None
+    if sd.has_tri_clusters:
+        # TPU path: SAH cluster packet kernel (ops/pallas_tri.py), seeded with
+        # the sphere/quad winner so closer geometry culls cluster visits free;
+        # the kernel also returns the winner's interpolated shading attributes
+        # so no gather over the big triangle tables happens below
+        from .pallas_tri import pallas_closest_tri
+
+        t_in = jnp.minimum(jnp.minimum(t_s, t_q), tmax)
+        t_t, i_t, tri_aux = pallas_closest_tri(
+            sd, o, d, t_in, tmin, interpret=jax.default_backend() != "tpu"
+        )
+    elif sd.has_tri_bvh:
         # large triangle tables traverse the stackless BVH (ops/bvh.py) instead of
         # the dense sweep: O(log n) node visits per lane vs O(n) triangle tests
         from .bvh import bvh_closest_tri
@@ -307,10 +319,10 @@ def closest_hit(sd: "D.SceneData", o, d, time, tmin, tmax) -> Hit:
         kind == KIND_SPHERE, i_s, jnp.where(kind == KIND_QUAD, i_q, i_t)
     )
     valid = t_best < BIG
-    return _make_hit(sd, o, d, time, t_best, kind, idx, valid)
+    return _make_hit(sd, o, d, time, t_best, kind, idx, valid, tri_aux=tri_aux)
 
 
-def _make_hit(sd, o, d, time, t, kind, idx, valid) -> Hit:
+def _make_hit(sd, o, d, time, t, kind, idx, valid, tri_aux=None) -> Hit:
     """Reconstruct hit attributes at the winning primitive (HitInfo::new).
 
     Miss lanes come in with t = BIG (3e38); computing attributes there overflows to
@@ -365,6 +377,20 @@ def _make_hit(sd, o, d, time, t, kind, idx, valid) -> Hit:
     beta = qwx * (quy * prz - quz * pry) + qwy * (quz * prx - qux * prz) + qwz * (qux * pry - quy * prx)
 
     # ---- triangle attributes (mesh.rs:84-101) ----
+    if tri_aux is not None:
+        # the cluster kernel already interpolated the winner's attributes
+        # in VMEM (ops/pallas_tri.py) — no gather over the [T,*] tables
+        ntx, nty, ntz = tri_aux["ns_raw"][..., 0], tri_aux["ns_raw"][..., 1], tri_aux["ns_raw"][..., 2]
+        invt = 1.0 / jnp.sqrt(jnp.maximum(ntx * ntx + nty * nty + ntz * ntz, 1e-24))
+        ntx, nty, ntz = ntx * invt, nty * invt, ntz * invt
+        u_tri, v_tri = tri_aux["u"], tri_aux["v"]
+        mat_tri = tri_aux["mat"]
+        return _select_hit(
+            sd, t, kind, idx, valid, ox, oy, oz, dx, dy, dz, px, py, pz, time,
+            nsx, nsy, nsz, u_sph, v_sph, mat_sph,
+            qnx, qny, qnz, alpha, beta, mat_quad,
+            ntx, nty, ntz, u_tri, v_tri, mat_tri,
+        )
     ti = jnp.where(kind == KIND_TRI, idx, 0)
     tri_geo = take_rows(jnp.concatenate([sd.tri_v0, sd.tri_e1, sd.tri_e2], axis=1), ti)
     v0x, v0y, v0z = (tri_geo[..., j] for j in range(3))
@@ -407,6 +433,22 @@ def _make_hit(sd, o, d, time, t, kind, idx, valid) -> Hit:
     u_tri = jnp.where(has_uv, uv0u * bw + uv1u * bu + uv2u * bv, bu)
     v_tri = jnp.where(has_uv, uv0v * bw + uv1v * bu + uv2v * bv, bv)
 
+    return _select_hit(
+        sd, t, kind, idx, valid, ox, oy, oz, dx, dy, dz, px, py, pz, time,
+        nsx, nsy, nsz, u_sph, v_sph, mat_sph,
+        qnx, qny, qnz, alpha, beta, mat_quad,
+        ntx, nty, ntz, u_tri, v_tri, mat_tri,
+    )
+
+
+def _select_hit(
+    sd, t, kind, idx, valid, ox, oy, oz, dx, dy, dz, px, py, pz, time,
+    nsx, nsy, nsz, u_sph, v_sph, mat_sph,
+    qnx, qny, qnz, alpha, beta, mat_quad,
+    ntx, nty, ntz, u_tri, v_tri, mat_tri,
+) -> Hit:
+    """Kind-select the winner's attributes + HitInfo::new epilogue
+    (front-face flip and normal mapping, hit_info.rs:25-43)."""
     # ---- select by kind ----
     is_s = kind == KIND_SPHERE
     is_q = kind == KIND_QUAD

@@ -32,8 +32,9 @@ SUBLANES = 8
 BLOCK = LANES * SUBLANES  # rays per grid step
 
 
-def _hit_kernel(sph_ref, quad_ref, ox, oy, oz, dx, dy, dz, tm, t_out, code_out,
-                *, n_sph, n_quad, tmin):
+def _hit_kernel(tmin_ref, sph_ref, quad_ref, ox, oy, oz, dx, dy, dz, tm, t_out, code_out,
+                *, n_sph, n_quad):
+    tmin = tmin_ref[0]
     best_t = jnp.full((SUBLANES, LANES), BIG, jnp.float32)
     best_c = jnp.zeros((SUBLANES, LANES), jnp.int32)
 
@@ -127,11 +128,12 @@ def _tables(sd):
     return sph, quad
 
 
-def pallas_closest_sphere_quad(sd, o, d, time, interpret=False):
+def pallas_closest_sphere_quad(sd, o, d, time, tmin=1e-3, interpret=False):
     """Fused sphere+quad closest hit -> (t [B], kind [B] int32, idx [B] int32).
 
     B is padded internally to a multiple of 1024; misses carry t = BIG.
-    tmin is baked at the reference's T_MIN = 1e-3 (camera.rs:171).
+    tmin defaults to the reference's T_MIN = 1e-3 (camera.rs:171) and is passed
+    to the kernel as a scalar operand (not baked into the compiled code).
     """
     b = o.shape[0]
     pad = (-b) % BLOCK
@@ -155,9 +157,10 @@ def pallas_closest_sphere_quad(sd, o, d, time, interpret=False):
     out_sc = jax.ShapeDtypeStruct((bp // LANES, LANES), jnp.int32)
 
     t2, code2 = pl.pallas_call(
-        partial(_hit_kernel, n_sph=n_sph, n_quad=n_quad, tmin=1e-3),
+        partial(_hit_kernel, n_sph=n_sph, n_quad=n_quad),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             *([ray_spec] * 7),
@@ -165,7 +168,7 @@ def pallas_closest_sphere_quad(sd, o, d, time, interpret=False):
         out_specs=[ray_spec, ray_spec],
         out_shape=[out_sd, out_sc],
         interpret=interpret,
-    )(sph, quad, *planes)
+    )(jnp.asarray(tmin, jnp.float32).reshape(1), sph, quad, *planes)
 
     t = t2.reshape(-1)[:b]
     code = code2.reshape(-1)[:b]

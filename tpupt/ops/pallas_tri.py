@@ -1,0 +1,409 @@
+"""Pallas TPU kernel: SAH-cluster packet traversal for the triangle table.
+
+This is the TPU-native replacement for the reference's per-ray recursive BVH
+walk over mesh triangles (bvh.rs:124-163 + the nested per-mesh trees,
+mesh.rs:195). Per-lane pointer chasing is the one thing a TPU cannot do — the
+round-1 stackless traversal measured 28x SLOWER than brute force on TPU because
+every node step is a 128-lane divergent gather. This kernel keeps the hierarchy
+but moves the divergence to *packet* granularity, where the VPU is happy:
+
+- the SAH tree (ops/bvh.py build_tri_bvh_sah) is cut into clusters of up to 64
+  triangles, contiguous in the reordered table, each with a tight AABB;
+- triangles are packed into (8, 128) f32 VMEM blocks — 8 sublane rows x 8 tri
+  slots x 16 lanes of fields — so a whole cluster is ONE aligned vector load:
+  no gathers, no transposes, only static width-1 lane slices (measured
+  supported + fast on v5e Mosaic);
+- rays are processed 128 per row (the lane axis). For each row the kernel slab-
+  tests 8 cluster AABBs at a time ((8,128) ops), reduces an any-lane-hit count
+  per cluster, and runs Möller–Trumbore ((8 tris,1) x (1,128 rays)) only for
+  clusters some lane hit — guarded by lax.cond so missed clusters cost ~nothing;
+- the caller seeds best_t with the sphere/quad winner (ops/pallas_hit.py), so
+  closer non-triangle geometry culls cluster visits for free.
+
+Intersection math matches _tri_block (ops/intersect.py; mesh.rs:50-82) exactly.
+Misses return t = BIG. Packet-level divergence means a row visits the union of
+its 128 rays' clusters — the SAH cut (not Morton) is what keeps that union small.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 3.0e38  # plain float (a jnp scalar would be a captured constant)
+BIG_IDF = float(1 << 24)  # id sentinel, exact in f32
+LANES = 128
+SUBLANES = 8
+BLOCK = LANES * SUBLANES  # rays per grid step
+
+CLUSTER_TRIS = 64  # must equal ops.bvh.CLUSTER_MAX
+SUPER_CLUSTERS = 64  # clusters per supercluster (phase-0 cull granularity)
+N_FIELDS = 16  # lane stride per triangle slot
+# field offsets within a slot: v0(3), e1(3), e2(3), id
+F_V0, F_E1, F_E2, F_ID = 0, 3, 6, 9
+
+# VMEM budget for the packed table (v5e has ~16 MB; leave room for ray tiles)
+MAX_PACKED_BYTES = 8 << 20
+
+
+HAS_UV_FLAG = float(1 << 20)  # added to the mat field when the triangle has UVs
+
+
+def pack_clusters(tri_v0, tri_e1, tri_e2, clusters, tri_n0=None, tri_n1=None,
+                  tri_n2=None, tri_uv0=None, tri_uv1=None, tri_uv2=None,
+                  tri_has_uv=None, tri_mat=None):
+    """Pack SAH clusters into the kernel's VMEM layout.
+
+    Inputs are the triangle tables already in SAH DFS order. Returns
+    (cl_box [Cp, 8] f32, pk [Cp*8, 128] f32, pk2 [Cp*8, 128] f32) with Cp = C
+    padded to a multiple of 8. Pad clusters get point AABBs at +1e30 (slab test
+    can never pass) and pad triangle slots are degenerate (e1 = e2 = 0 ->
+    |a| < 1e-8 reject).
+
+    pk slot fields: v0(3), e1(3), e2(3), id.
+    pk2 slot fields (shading attributes, so the kernel can interpolate normals
+    and UVs at hit time instead of the render loop gathering 16k-row tables —
+    XLA per-lane gathers measured ~microseconds/lane on TPU):
+    n0(3), n1(3), n2(3), uv0(2), uv1(2), uv2(2), mat + HAS_UV_FLAG.
+    """
+    c_real = clusters["start"].shape[0]
+    # pad cluster count to a full supercluster so phase-1 block loops never run
+    # off the table (64 clusters = 8 cull blocks per supercluster)
+    cp = max(SUPER_CLUSTERS, ((c_real + SUPER_CLUSTERS - 1) // SUPER_CLUSTERS) * SUPER_CLUSTERS)
+
+    cl_box = np.full((cp, 8), 0.0, dtype=np.float32)
+    cl_box[:, 0:3] = 1e30  # pad rows: point box far away
+    cl_box[:, 3:6] = 1e30
+    cl_box[:c_real, 0:3] = clusters["bmin"]
+    cl_box[:c_real, 3:6] = clusters["bmax"]
+
+    # supercluster level: unions of 64 consecutive clusters (8 cull blocks) —
+    # the kernel's phase 0 culls these first so coherent rows skip whole swaths
+    # of the per-cluster cull + compaction (its fixed cost dominated v2)
+    n_sc = (cp + SUPER_CLUSTERS - 1) // SUPER_CLUSTERS
+    scp = max(8, ((n_sc + 7) // 8) * 8)
+    sc_box = np.full((scp, 8), 0.0, dtype=np.float32)
+    sc_box[:, 0:3] = 1e30
+    sc_box[:, 3:6] = 1e30
+    for s in range(n_sc):
+        lo_r, hi_r = s * SUPER_CLUSTERS, min((s + 1) * SUPER_CLUSTERS, c_real)
+        if lo_r >= hi_r:
+            continue
+        sc_box[s, 0:3] = clusters["bmin"][lo_r:hi_r].min(0)
+        sc_box[s, 3:6] = clusters["bmax"][lo_r:hi_r].max(0)
+
+    pk = np.zeros((cp * 8, 128), dtype=np.float32)
+    pk2 = np.zeros((cp * 8, 128), dtype=np.float32)
+    local = np.arange(CLUSTER_TRIS)
+    slot = local // 8  # lane group
+    row = local % 8  # sublane
+    fields = (
+        tri_v0[:, 0], tri_v0[:, 1], tri_v0[:, 2],
+        tri_e1[:, 0], tri_e1[:, 1], tri_e1[:, 2],
+        tri_e2[:, 0], tri_e2[:, 1], tri_e2[:, 2],
+    )
+    n = tri_v0.shape[0]
+    if tri_n0 is None:
+        tri_n0 = tri_n1 = tri_n2 = np.zeros((n, 3), np.float32)
+        tri_uv0 = tri_uv1 = tri_uv2 = np.zeros((n, 2), np.float32)
+        tri_has_uv = np.zeros(n, bool)
+        tri_mat = np.zeros(n, np.int32)
+    matf = tri_mat.astype(np.float32) + tri_has_uv.astype(np.float32) * HAS_UV_FLAG
+    fields2 = (
+        tri_n0[:, 0], tri_n0[:, 1], tri_n0[:, 2],
+        tri_n1[:, 0], tri_n1[:, 1], tri_n1[:, 2],
+        tri_n2[:, 0], tri_n2[:, 1], tri_n2[:, 2],
+        tri_uv0[:, 0], tri_uv0[:, 1],
+        tri_uv1[:, 0], tri_uv1[:, 1],
+        tri_uv2[:, 0], tri_uv2[:, 1],
+        matf,
+    )
+    id_lane = slot * N_FIELDS + F_ID
+    for c in range(c_real):
+        s, cnt = int(clusters["start"][c]), int(clusters["count"][c])
+        valid = local < cnt
+        gi = s + np.where(valid, local, 0)
+        rows = c * 8 + row
+        for f, col in enumerate(fields):
+            pk[rows[valid], slot[valid] * N_FIELDS + f] = col[gi[valid]]
+        pk[rows, id_lane] = np.where(valid, gi, BIG_IDF)
+        for f, col in enumerate(fields2):
+            pk2[rows[valid], slot[valid] * N_FIELDS + f] = col[gi[valid]]
+    pk[c_real * 8 :, F_ID::N_FIELDS] = BIG_IDF
+    return cl_box, pk, pk2, sc_box
+
+
+def _tri_cluster_kernel(tmin_ref, sc_ref, cl_ref, pk_ref, pk2_ref, ox, oy, oz, dx, dy, dz,
+                        tin, t_out, id_out, nx_out, ny_out, nz_out, uu_out, vv_out, mat_out,
+                        vword, squeue, vsc, scqueue, *, n_cl_blocks, n_sc_blocks):
+    """Branch-free phases per 128-ray row (measured: per-cluster lax.cond +
+    scalar readback cost ~65 cycles each and dominated v1 — see BASELINE.md):
+
+    0. supercull (vector): slab-test superclusters (64 clusters each), compact
+       the hit ones into an SMEM queue — coherent rows keep 1-2 of them;
+    1. cull (vector): for hit superclusters only, slab-test 8 clusters at a
+       time; pack the 8 any-lane-hit bits into one word in VMEM scratch;
+    2. compact (scalar, branchless): squeue[qn] = cluster; qn += bit — a queue
+       of hit clusters with zero branches;
+    3. intersect (vector): fori over the qn queued clusters, unconditionally —
+       every iteration is real work.
+    """
+    tmin = tmin_ref[0]
+    kbit = 1 << jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, 1), 0)  # 2^k column
+    for rr in range(SUBLANES):  # 8 rows of 128 rays per grid step
+        o_x = ox[rr : rr + 1, :]
+        o_y = oy[rr : rr + 1, :]
+        o_z = oz[rr : rr + 1, :]
+        d_x = dx[rr : rr + 1, :]
+        d_y = dy[rr : rr + 1, :]
+        d_z = dz[rr : rr + 1, :]
+        # sign-preserving flush of tiny components (ops/bvh.py slab test parity)
+        inv_x = 1.0 / jnp.where(jnp.abs(d_x) < 1e-20, jnp.where(d_x < 0, -1e-20, 1e-20), d_x)
+        inv_y = 1.0 / jnp.where(jnp.abs(d_y) < 1e-20, jnp.where(d_y < 0, -1e-20, 1e-20), d_y)
+        inv_z = 1.0 / jnp.where(jnp.abs(d_z) < 1e-20, jnp.where(d_z < 0, -1e-20, 1e-20), d_z)
+        t_seed = tin[rr : rr + 1, :]
+
+        def slab_word(box_ref, blk, o_x=o_x, o_y=o_y, o_z=o_z,
+                      inv_x=inv_x, inv_y=inv_y, inv_z=inv_z, t_seed=t_seed):
+            """Slab-test 8 boxes of `box_ref` at block `blk` -> (1,1) bit word."""
+            bx = box_ref[pl.ds(blk * 8, 8), :]  # (8 boxes, 8 fields)
+            t1x = (bx[:, 0:1] - o_x) * inv_x  # (8,128)
+            t2x = (bx[:, 3:4] - o_x) * inv_x
+            t1y = (bx[:, 1:2] - o_y) * inv_y
+            t2y = (bx[:, 4:5] - o_y) * inv_y
+            t1z = (bx[:, 2:3] - o_z) * inv_z
+            t2z = (bx[:, 5:6] - o_z) * inv_z
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                jnp.maximum(jnp.minimum(t1z, t2z), tmin),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                jnp.minimum(jnp.maximum(t1z, t2z), t_seed),
+            )
+            hit = jnp.any(tn <= tf, axis=1, keepdims=True)  # (8,1)
+            return jnp.sum(jnp.where(hit, kbit, 0), axis=0, keepdims=True)  # (1,1)
+
+        # ---- phase 0: supercluster cull + compaction ----
+        def sc_cull(scb, _):
+            vsc[pl.ds(scb, 1), 0:1] = slab_word(sc_ref, scb)
+            return 0
+
+        lax.fori_loop(0, n_sc_blocks, sc_cull, 0)
+
+        def sc_compact(scb, sqn):
+            word = vsc[scb, 0]
+            for k in range(8):
+                scqueue[sqn] = scb * 8 + k
+                sqn = sqn + ((word >> k) & 1)
+            return sqn
+
+        sqn = lax.fori_loop(0, n_sc_blocks, sc_compact, jnp.int32(0))
+
+        # ---- phase 1: cull the hit superclusters' cluster blocks ----
+        def cull_body(i, _):
+            s = scqueue[i]  # supercluster -> cluster blocks [s*8, s*8+8)
+            for j in range(8):
+                cb = s * 8 + j
+                vword[pl.ds(cb, 1), 0:1] = slab_word(cl_ref, cb)
+            return 0
+
+        lax.fori_loop(0, sqn, cull_body, 0)
+
+        # ---- phase 2: branchless compaction into the SMEM cluster queue ----
+        def compact_body(i, qn):
+            s = scqueue[i]
+            for j in range(8):
+                cb = s * 8 + j
+                word = vword[cb, 0]
+                for k in range(8):
+                    squeue[qn] = cb * 8 + k
+                    qn = qn + ((word >> k) & 1)
+            return qn
+
+        qn = lax.fori_loop(0, sqn, compact_body, jnp.int32(0))
+
+        # ---- phase 3: Möller–Trumbore over queued clusters, unconditional.
+        # Shading attributes (normals, UVs, material) are interpolated HERE, at
+        # candidate level, and carried through the same select-chain as t/id —
+        # this replaces the render loop's per-lane XLA gathers over the 16k-row
+        # attribute tables (hit_info/mesh.rs:84-101 semantics, measured ~us/lane
+        # on TPU; the select-chain costs ~2x the bare intersection and is the
+        # difference between 0.5M and multi-M rays/s on mesh scenes).
+        def tri_body(i, carry, o_x=o_x, o_y=o_y, o_z=o_z, d_x=d_x, d_y=d_y, d_z=d_z):
+            best = carry  # (t, id, nx, ny, nz, uu, vv, matf), each (1,128)
+            best_t = best[0]
+            c = squeue[i]
+            blk = pk_ref[pl.ds(c * 8, 8), :]  # (8,128): one cluster, geometry
+            blk2 = pk2_ref[pl.ds(c * 8, 8), :]  # (8,128): shading attributes
+            cand_t = jnp.full((SUBLANES, LANES), BIG, jnp.float32)
+            cand_id = jnp.full((SUBLANES, LANES), BIG_IDF, jnp.float32)
+            zeros = jnp.zeros((SUBLANES, LANES), jnp.float32)
+            cand = [cand_t, cand_id, zeros, zeros, zeros, zeros, zeros, zeros]
+            for g in range(8):  # 8 triangle slots of 8 rows each
+                base = g * N_FIELDS
+                v0x = blk[:, base + 0 : base + 1]
+                v0y = blk[:, base + 1 : base + 2]
+                v0z = blk[:, base + 2 : base + 3]
+                e1x = blk[:, base + 3 : base + 4]
+                e1y = blk[:, base + 4 : base + 5]
+                e1z = blk[:, base + 5 : base + 6]
+                e2x = blk[:, base + 6 : base + 7]
+                e2y = blk[:, base + 7 : base + 8]
+                e2z = blk[:, base + 8 : base + 9]
+                idf = blk[:, base + 9 : base + 10]
+                # Möller–Trumbore (mesh.rs:50-82), (8 tris,1) x (1,128 rays)
+                hx = d_y * e2z - d_z * e2y
+                hy = d_z * e2x - d_x * e2z
+                hz = d_x * e2y - d_y * e2x
+                a = e1x * hx + e1y * hy + e1z * hz
+                f = 1.0 / jnp.where(jnp.abs(a) < 1e-8, 1.0, a)
+                sx = o_x - v0x
+                sy = o_y - v0y
+                sz = o_z - v0z
+                u = f * (sx * hx + sy * hy + sz * hz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                v = f * (d_x * qx + d_y * qy + d_z * qz)
+                t = f * (e2x * qx + e2y * qy + e2z * qz)
+                ok = (
+                    (jnp.abs(a) >= 1e-8)
+                    & (u >= 0.0)
+                    & (u <= 1.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t > tmin)
+                    & (t < best_t)
+                )
+                upd = ok & (t < cand_t)
+                # barycentric interpolation of normals/UVs (mesh.rs:84-101)
+                w = 1.0 - u - v
+                n_x = blk2[:, base + 0 : base + 1] * w + blk2[:, base + 3 : base + 4] * u \
+                    + blk2[:, base + 6 : base + 7] * v
+                n_y = blk2[:, base + 1 : base + 2] * w + blk2[:, base + 4 : base + 5] * u \
+                    + blk2[:, base + 7 : base + 8] * v
+                n_z = blk2[:, base + 2 : base + 3] * w + blk2[:, base + 5 : base + 6] * u \
+                    + blk2[:, base + 8 : base + 9] * v
+                matf = blk2[:, base + 15 : base + 16]
+                has_uv = matf >= HAS_UV_FLAG
+                uu = jnp.where(
+                    has_uv,
+                    blk2[:, base + 9 : base + 10] * w + blk2[:, base + 11 : base + 12] * u
+                    + blk2[:, base + 13 : base + 14] * v,
+                    u,
+                )
+                vv = jnp.where(
+                    has_uv,
+                    blk2[:, base + 10 : base + 11] * w + blk2[:, base + 12 : base + 13] * u
+                    + blk2[:, base + 14 : base + 15] * v,
+                    v,
+                )
+                vals = (t, idf, n_x, n_y, n_z, uu, vv, matf)
+                cand = [jnp.where(upd, val, cd) for val, cd in zip(vals, cand)]
+                cand_t = cand[0]
+            cand_t, cand_id = cand[0], cand[1]
+            row_t = jnp.min(cand_t, axis=0, keepdims=True)
+            row_id = jnp.min(
+                jnp.where(cand_t <= row_t, cand_id, BIG_IDF), axis=0, keepdims=True
+            )
+            # exactly one (row, lane) matches row_id: sum-select its attributes
+            exact = cand_id == row_id
+            upd = row_t < best_t
+            out = [
+                jnp.where(upd, row_t, best[0]),
+                jnp.where(upd, row_id, best[1]),
+            ]
+            for j in range(2, 8):
+                row_f = jnp.sum(jnp.where(exact, cand[j], 0.0), axis=0, keepdims=True)
+                out.append(jnp.where(upd, row_f, best[j]))
+            return tuple(out)
+
+        zrow = jnp.zeros((1, LANES), jnp.float32)
+        init = (t_seed, jnp.full((1, LANES), BIG_IDF, jnp.float32),
+                zrow, zrow, zrow, zrow, zrow, zrow)
+        best = lax.fori_loop(0, qn, tri_body, init)
+        # report BIG where no triangle beat the seed (caller min-selects kinds)
+        found = best[1] < BIG_IDF
+        t_out[rr : rr + 1, :] = jnp.where(found, best[0], BIG)
+        id_out[rr : rr + 1, :] = jnp.where(found, best[1], 0.0).astype(jnp.int32)
+        nx_out[rr : rr + 1, :] = best[2]
+        ny_out[rr : rr + 1, :] = best[3]
+        nz_out[rr : rr + 1, :] = best[4]
+        uu_out[rr : rr + 1, :] = best[5]
+        vv_out[rr : rr + 1, :] = best[6]
+        mat_out[rr : rr + 1, :] = jnp.where(
+            best[7] >= HAS_UV_FLAG, best[7] - HAS_UV_FLAG, best[7]
+        ).astype(jnp.int32)
+
+
+def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False):
+    """Closest triangle via cluster packets -> (t [B], idx [B] int32, aux dict).
+
+    t_in seeds the per-lane best distance (pass the sphere/quad winner's t, or
+    tmax): only triangles strictly closer are reported; misses carry t = BIG.
+    idx indexes the SAH-reordered triangle tables. aux carries the winner's
+    shading attributes (interpolated in-kernel): ns_raw [B,3] (unnormalized
+    interpolated vertex normal), u [B], v [B], mat [B] int32 — so the render
+    loop never gathers the big per-triangle attribute tables.
+    """
+    b = o.shape[0]
+    pad = (-b) % BLOCK
+    bp = b + pad
+
+    def plane(x, fill=0.0):
+        return jnp.pad(x, (0, pad), constant_values=fill).reshape(bp // LANES, LANES)
+
+    planes = [
+        plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
+        plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
+        plane(t_in),  # pad lanes get t_in = 0 -> no box can pass tn >= tmin > 0
+    ]
+    n_cl_blocks = sd.tri_cl.shape[0] // 8
+    n_sc_blocks = sd.tri_scl.shape[0] // 8
+
+    ray_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid = (bp // BLOCK,)
+    f32_out = jax.ShapeDtypeStruct((bp // LANES, LANES), jnp.float32)
+    i32_out = jax.ShapeDtypeStruct((bp // LANES, LANES), jnp.int32)
+
+    t2, id2, nx, ny, nz, uu, vv, mat = pl.pallas_call(
+        partial(_tri_cluster_kernel, n_cl_blocks=n_cl_blocks, n_sc_blocks=n_sc_blocks),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            full_spec,  # supercluster AABBs
+            full_spec,  # cluster AABBs
+            full_spec,  # packed triangle geometry blocks
+            full_spec,  # packed shading attribute blocks
+            *([ray_spec] * 7),
+        ],
+        out_specs=[ray_spec] * 8,
+        out_shape=[f32_out, i32_out, f32_out, f32_out, f32_out, f32_out, f32_out, i32_out],
+        scratch_shapes=[
+            pltpu.VMEM((max(8, n_cl_blocks), LANES), jnp.int32),  # packed cull words
+            pltpu.SMEM((max(64, n_cl_blocks * 8 + 8),), jnp.int32),  # cluster queue
+            pltpu.VMEM((max(8, n_sc_blocks), LANES), jnp.int32),  # supercull words
+            pltpu.SMEM((max(64, n_sc_blocks * 8 + 8),), jnp.int32),  # super queue
+        ],
+        interpret=interpret,
+    )(jnp.asarray(tmin, jnp.float32).reshape(1), sd.tri_scl, sd.tri_cl, sd.tri_pk,
+      sd.tri_pk2, *planes)
+
+    def unplane(x):
+        return x.reshape(-1)[:b]
+
+    aux = dict(
+        ns_raw=jnp.stack([unplane(nx), unplane(ny), unplane(nz)], axis=-1),
+        u=unplane(uu),
+        v=unplane(vv),
+        mat=unplane(mat),
+    )
+    return unplane(t2), unplane(id2), aux

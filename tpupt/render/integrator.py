@@ -217,51 +217,92 @@ def trace_film_streamed(
 
     The reference estimator is per-sample identical to trace_radiance — every
     (pixel, sample) path consumes the same counter-based RNG stream and follows
-    camera.rs:170-228 exactly. What changes is scheduling: instead of launching k
-    masked 50-iteration waves (lanes idle once their path dies — by bounce 10 of a
-    Cornell wave ~80% of lanes are dead weight), a lane that finishes sample s
-    immediately regenerates the camera ray for sample s+1. Lane utilization stays
-    near 100% and the wavefront runs ~k*E[path length] iterations instead of k*50.
+    camera.rs:170-228 exactly. What changes is scheduling:
 
-    This is the TPU answer to wavefront compaction: no queue scatter/gather —
-    lanes are pixel-pinned so the per-lane film sum needs no cross-lane reduction.
+    - *regeneration*: a lane that finishes sample s immediately regenerates the
+      camera ray for sample s+1, so utilization stays near 100% while lanes have
+      samples left (vs k masked 50-iteration waves where ~80% idle by bounce 10);
+    - *tail compaction*: path length is pixel-correlated (a glass pixel's lanes
+      run 10x the sky pixels'), so once most lanes exhaust their samples the
+      wavefront limps along at a few % occupancy — scene 6 measured 6% overall,
+      2500 ns per counted ray vs the 149 ns bounce cost. When live work drops
+      below b/4 the state is argsort-compacted into a b/4-lane batch (static
+      shapes; XLA sort + small gathers, once), then b/16, then b/64. Each lane
+      carries its origin index so films scatter back exactly.
 
-    Returns (film_sum [B,3], rays_traced scalar uint32).
+    Returns (film_sum [B,3] in the caller's lane order, rays_traced uint32).
     """
-    from .camera import generate_rays
-
     b = pixel_ids.shape[0]
-    p_light = REAL(0.5 if has_lights else 0.0)
-    p_bsdf = REAL(1.0) - p_light
-    zero3 = jnp.zeros((b, 3), REAL)
-
     state = dict(
-        o=zero3,
+        pix=pixel_ids,
+        row=rows,
+        col=cols,
+        sample0=sample0 * jnp.ones_like(pixel_ids),
+        lane=jnp.arange(b, dtype=jnp.int32),
+        o=jnp.zeros((b, 3), REAL),
         d=jnp.concatenate([jnp.zeros((b, 2), REAL), jnp.ones((b, 1), REAL)], -1),
         time=jnp.zeros((b,), REAL),
         bounce=jnp.zeros((b,), jnp.int32),
         sample=jnp.zeros((b,), jnp.int32),  # per-lane sample cursor (samples started)
         cur_sample=jnp.zeros((b,), jnp.int32),  # sample id of the in-flight path
         throughput=jnp.ones((b, 3), REAL),
-        radiance=zero3,
-        film=zero3,
+        radiance=jnp.zeros((b, 3), REAL),
+        film=jnp.zeros((b, 3), REAL),
         alive=jnp.zeros((b,), bool),
         rays=jnp.uint32(0),
     )
 
-    def cond(s):
-        more_work = (~s["alive"]) & (s["sample"] < k) & ((sample0 + s["sample"]) < spp_limit)
-        return jnp.any(s["alive"] | more_work)
+    def work_mask(s):
+        return s["alive"] | (
+            (s["sample"] < k) & ((s["sample0"] + s["sample"]) < spp_limit)
+        )
+
+    body = _make_stream_body(sd, cam, spp_limit, seed, k, max_depth, has_lights)
+
+    # compaction schedule: only engage for batches big enough that the sort +
+    # gathers are noise; always end with threshold 0 (run until all work done)
+    thresholds = [t for t in (b // 4, b // 16, b // 64) if t >= 4096] + [0]
+    bank = jnp.zeros((b, 3), REAL)
+    for thr in thresholds:
+        if thr:
+            def cond(s, thr=thr):
+                w = work_mask(s)
+                return jnp.any(w) & (jnp.sum(w) > thr)
+        else:
+            def cond(s):
+                return jnp.any(work_mask(s))
+        state = lax.while_loop(cond, body, state)
+        if thr:
+            keep = jnp.argsort(~work_mask(state), stable=True)[:thr]
+            bank = bank.at[state["lane"]].add(state["film"])
+            rays = state["rays"]
+            state = {
+                key: (val if key == "rays" else jnp.take(val, keep, axis=0))
+                for key, val in state.items()
+            }
+            state["film"] = jnp.zeros((thr, 3), REAL)
+            state["rays"] = rays
+    bank = bank.at[state["lane"]].add(state["film"])
+    return bank, state["rays"]
+
+
+def _make_stream_body(sd, cam, spp_limit, seed, k, max_depth, has_lights):
+    """One wavefront iteration: regenerate exhausted lanes, bounce, flush films."""
+    from .camera import generate_rays
+
+    p_light = REAL(0.5 if has_lights else 0.0)
+    p_bsdf = REAL(1.0) - p_light
 
     def body(s):
         o, d, time = s["o"], s["d"], s["time"]
         T, L, film, alive = s["throughput"], s["radiance"], s["film"], s["alive"]
         bounce, sample, cur_sample = s["bounce"], s["sample"], s["cur_sample"]
+        sample0 = s["sample0"]
 
         # ---- regenerate lanes whose path is finished and have samples left ----
         need = (~alive) & (sample < k) & ((sample0 + sample) < spp_limit)
         new_sample = sample0 + sample
-        o_new, d_new, t_new = generate_rays(cam, rows, cols, pixel_ids, new_sample, seed)
+        o_new, d_new, t_new = generate_rays(cam, s["row"], s["col"], s["pix"], new_sample, seed)
         nm = need[..., None]
         o = jnp.where(nm, o_new, o)
         d = jnp.where(nm, d_new, d)
@@ -277,7 +318,7 @@ def trace_film_streamed(
 
         # ---- one bounce (identical estimator to trace_radiance) ----
         o_next, d_next, T, L, alive_h = bounce_step(
-            sd, o, d, time, T, L, alive, bounce, pixel_ids, cur_sample, seed,
+            sd, o, d, time, T, L, alive, bounce, s["pix"], cur_sample, seed,
             p_light, p_bsdf, has_lights,
         )
 
@@ -290,6 +331,11 @@ def trace_film_streamed(
         film = film + jnp.where(died[..., None], L, 0.0)
 
         return dict(
+            pix=s["pix"],
+            row=s["row"],
+            col=s["col"],
+            sample0=sample0,
+            lane=s["lane"],
             o=jnp.where(alive_h[..., None], o_next, o),
             d=jnp.where(alive_h[..., None], d_next, d),
             time=time,
@@ -303,5 +349,4 @@ def trace_film_streamed(
             rays=rays,
         )
 
-    out = lax.while_loop(cond, body, state)
-    return out["film"], out["rays"]
+    return body

@@ -241,15 +241,18 @@ def compile_scene(scene: "B.Scene", bvh: bool | None = None) -> CompiledScene:
     n_tri_real = len(tables["tri"])
     BVH_THRESHOLD = 64
     if bvh is None:
-        # measured on scene 6 (17k tris): the stackless traversal wins 3.7x on CPU
-        # but loses ~28x on TPU, where per-lane node gathers + a divergent
-        # while_loop can't compete with the dense prim-major VPU sweep. Default
-        # by backend; callers can force either path.
+        # backend routing (measured, BASELINE.md): on CPU the stackless escape-
+        # index traversal wins (>3.7x over the sweep); on TPU per-lane node
+        # gathers lose 28x to the sweep, so the TPU path is the Pallas SAH
+        # cluster packet kernel (ops/pallas_tri.py) instead. Callers can force
+        # either with the `bvh` flag.
         import jax
 
         use_bvh = n_tri_real >= BVH_THRESHOLD and jax.default_backend() != "tpu"
+        use_clusters = n_tri_real >= BVH_THRESHOLD and jax.default_backend() == "tpu"
     else:
         use_bvh = bool(bvh) and n_tri_real >= 2
+        use_clusters = False
     tri_real = tables["tri"] or [
         (np.zeros(3), np.zeros(3), np.zeros(3), (np.zeros(3),) * 3, (np.zeros(2),) * 3, False, 0)
     ]
@@ -266,12 +269,20 @@ def compile_scene(scene: "B.Scene", bvh: bool | None = None) -> CompiledScene:
     tri_mat = np.array([t[6] for t in tri_real], dtype=np.int32)
 
     tri_perm = None
-    if use_bvh:
-        # Morton-reorder the triangle table and emit the stackless node arrays
-        # (ops/bvh.py replaces bvh.rs SAH recursion + mesh.rs:195 nested trees)
-        from ..ops.bvh import build_tri_bvh
+    tri_cl = np.zeros((8, 8), dtype=f32)
+    tri_cl[:, 0:6] = 1e30  # pad boxes: slab test can never pass
+    tri_pk = np.zeros((64, 128), dtype=f32)
+    tri_pk2 = np.zeros((64, 128), dtype=f32)
+    tri_scl = np.zeros((8, 8), dtype=f32)
+    tri_scl[:, 0:6] = 1e30
+    if use_bvh or use_clusters:
+        # SAH-reorder the triangle table; emit stackless node arrays (CPU path,
+        # ops/bvh.py — replaces bvh.rs SAH recursion + mesh.rs:195 nested trees)
+        # and the cluster packet tables (TPU path, ops/pallas_tri.py)
+        from ..ops.bvh import build_tri_bvh_sah
+        from ..ops.pallas_tri import MAX_PACKED_BYTES, pack_clusters
 
-        order, nodes = build_tri_bvh(tri_v0, tri_e1, tri_e2)
+        order, nodes, clusters = build_tri_bvh_sah(tri_v0, tri_e1, tri_e2)
         tri_perm = order  # new_index_of_old: inverse permutation, built below
         (tri_v0, tri_e1, tri_e2, tri_n0, tri_n1, tri_n2,
          tri_uv0, tri_uv1, tri_uv2, tri_has_uv, tri_mat) = (
@@ -280,6 +291,16 @@ def compile_scene(scene: "B.Scene", bvh: bool | None = None) -> CompiledScene:
         )
         bvh_min, bvh_max = nodes["bmin"], nodes["bmax"]
         bvh_skip, bvh_start, bvh_count = nodes["skip"], nodes["start"], nodes["count"]
+        # cluster tables are built whenever the tree is, so tests/benchmarks can
+        # flip the static has_tri_clusters flag post-compile without a rebuild
+        cl_box, pk, pk2, sc_box = pack_clusters(
+            tri_v0, tri_e1, tri_e2, clusters, tri_n0, tri_n1, tri_n2,
+            tri_uv0, tri_uv1, tri_uv2, tri_has_uv, tri_mat,
+        )
+        if pk.nbytes + pk2.nbytes <= MAX_PACKED_BYTES:
+            tri_cl, tri_pk, tri_pk2, tri_scl = cl_box, pk, pk2, sc_box
+        else:  # tables too big for VMEM residency: fall back to the sweep
+            use_clusters = False
     else:
         bvh_min = np.zeros((1, 3), dtype=f32)
         bvh_max = np.zeros((1, 3), dtype=f32)
@@ -440,6 +461,11 @@ def compile_scene(scene: "B.Scene", bvh: bool | None = None) -> CompiledScene:
         use_pallas_hit=_default_backend_is_tpu(),
         has_tri_bvh=use_bvh,
         has_tri_mxu=use_mxu,
+        has_tri_clusters=use_clusters,
+        tri_cl=jnp.asarray(tri_cl),
+        tri_pk=jnp.asarray(tri_pk),
+        tri_pk2=jnp.asarray(tri_pk2),
+        tri_scl=jnp.asarray(tri_scl),
         tri_ca=jnp.asarray(tri_ca),
         tri_cu=jnp.asarray(tri_cu),
         tri_cv=jnp.asarray(tri_cv),

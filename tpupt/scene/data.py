@@ -69,6 +69,7 @@ _STATIC_FIELDS = (
     "has_tri_bvh",
     "has_tri_mxu",
     "use_pallas_hit",
+    "has_tri_clusters",
 )
 
 
@@ -169,6 +170,16 @@ class SceneData:
     bvh_start: jnp.ndarray  # [M] int32 leaf triangle range start (sorted order)
     bvh_count: jnp.ndarray  # [M] int32 leaf size, 0 = internal node
 
+    # SAH cluster tables for the Pallas packet kernel (ops/pallas_tri.py): the
+    # TPU-fast triangle path. tri_cl rows are cluster AABBs [bmin(3), bmax(3),
+    # pad(2)]; tri_pk packs each cluster's <=64 triangles into one (8,128) VMEM
+    # block (8 tri slots x 16 field lanes per row). Dummy minimal arrays when
+    # has_tri_clusters is off.
+    tri_cl: jnp.ndarray  # [Cp, 8] f32, Cp multiple of 64
+    tri_pk: jnp.ndarray  # [Cp*8, 128] f32 geometry (v0, e1, e2, id per slot)
+    tri_pk2: jnp.ndarray  # [Cp*8, 128] f32 shading attrs (n0..n2, uv0..2, mat)
+    tri_scl: jnp.ndarray  # [Sp, 8] f32 supercluster AABBs (64 clusters each)
+
     # MXU intersection path (ops/intersect.py _tri_block_mxu): per-triangle
     # coefficient rows of the Möller–Trumbore linear functionals over the ray
     # feature vector [d, o, o×d, 1]. Dummy [1,10] zeros when has_tri_mxu is off.
@@ -185,9 +196,10 @@ class SceneData:
     env_is_map: bool = False
     env_is_hdr: bool = False  # f32 HDR env + importance sampling enabled
     n_lights_real: int = 0  # geometry lights (light table may hold one pad row)
-    has_tri_bvh: bool = False  # triangle table is Morton-ordered with BVH nodes
+    has_tri_bvh: bool = False  # triangle table is SAH-ordered with BVH nodes
     has_tri_mxu: bool = False  # triangle sweep runs as MXU matmuls
     use_pallas_hit: bool = False  # sphere+quad legs run as the fused Pallas kernel
+    has_tri_clusters: bool = False  # triangle leg runs the Pallas cluster kernel
 
     @property
     def n_spheres(self):
