@@ -161,3 +161,38 @@ def test_env_img_grads_flow():
     assert g.shape == compiled.data.env_img.shape
     assert bool(jnp.isfinite(g).all())
     assert float(jnp.abs(g).sum()) > 0.0
+
+
+def test_env_is_unbiased_with_occluder():
+    """VERDICT round-1 item 10: the below-horizon kill (render/integrator.py,
+    env NEE samples aimed under an opaque lane's shading horizon are treated as
+    failed samples) is an estimator deviation — verify it introduces no
+    measurable bias when geometry actually occludes part of the environment.
+
+    Setup: uniform env of 1 + two touching white Lambertian spheres (the second
+    occludes a chunk of the first's sky and creates inter-reflection, i.e. a
+    non-convex arrangement). The env-IS estimator (env as MIS light member) and
+    the BSDF-only estimator (has_lights=False) integrate the same clamped BRDF,
+    so their converged images must agree.
+    """
+    from tpupt.scene.compile import CompiledScene
+
+    img = np.ones((8, 16, 3), dtype=np.float32)
+    s = Scene()
+    s.add_sphere(1.0, (0.0, 0.0, -3.0), Diffuse((1.0, 1.0, 1.0)))
+    s.add_sphere(1.0, (1.6, 0.0, -3.0), Diffuse((1.0, 1.0, 1.0)))  # occluder
+    s.environment = ImageTexture(img, hdr=True)
+    compiled_is = s.compile()
+    assert compiled_is.data.env_is_hdr and compiled_is.has_lights
+    compiled_bsdf = CompiledScene(compiled_is.data, has_lights=False)
+
+    cam = _cam(width=12, spp=512, depth=8)
+    _, m_is, _ = render_image(compiled_is, cam, rays_per_launch=1 << 15, progress=False)
+    _, m_bsdf, _ = render_image(compiled_bsdf, cam, seed=7, rays_per_launch=1 << 15, progress=False)
+
+    # both unbiased for the same integrand: agreement within Monte-Carlo noise
+    diff = np.abs(m_is.mean(axis=-1) - m_bsdf.mean(axis=-1))
+    assert np.abs(m_is.mean() - m_bsdf.mean()) < 0.01, (m_is.mean(), m_bsdf.mean())
+    assert np.percentile(diff, 95) < 0.06, np.percentile(diff, 95)
+    # and the furnace identity holds for the IS estimator specifically
+    np.testing.assert_allclose(m_is.mean(), 1.0, atol=0.02)

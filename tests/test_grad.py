@@ -180,3 +180,48 @@ def test_grad_roughness_statistical():
     # detached grad estimates d E[image]; FD of one seed at 256 spp is itself noisy
     assert np.sign(g) == np.sign(fd)
     np.testing.assert_allclose(g, fd, rtol=0.5)
+
+
+EARTH = "/root/reference/assets/earthmap.jpg"
+
+
+def test_grad_image_texture_texel():
+    """VERDICT round-1 item 5: image-texture texels are differentiable leaves.
+
+    The atlas stores u8-quantized values in f32 (texture.rs:63-68 parity); the
+    nearest-texel gather's scatter-add adjoint yields per-texel gradients.
+    Radiance is linear in the hit texel's albedo at depth 1ish, so central FD
+    must match tightly at the texel AD says matters most.
+    """
+    from tpupt.scene.builder import ImageTexture
+
+    def scene():
+        s = Scene()
+        s.add_sphere(1.0, (0.0, 0.0, -3.0), Diffuse(ImageTexture(EARTH)))
+        s.environment = (1.0, 1.0, 1.0)
+        return s
+
+    cam = _cam(width=6, depth=3)
+    compiled = scene().compile()
+    fn = make_pixel_fn(compiled, cam)
+    pix, rows, cols, samp = _pixels(compiled, cam, spp=4)
+    args = (pix, rows, cols, samp, jnp.uint32(0))
+    params = init_params(compiled.data)
+
+    loss = jax.jit(lambda p: fn(p, *args).sum())
+    grads = jax.jit(jax.grad(loss))(params)["atlas"]
+    g = np.asarray(grads)
+    assert (g != 0).any(), "no gradient reached the atlas"
+    # the most influential texel, red channel
+    ti = int(np.abs(g[:, 0]).argmax())
+    g_ad = float(g[ti, 0])
+
+    h = 0.25
+    def at(v):
+        p = dict(params)
+        p["atlas"] = params["atlas"].at[ti, 0].set(v)
+        return float(loss(p))
+
+    v0 = float(params["atlas"][ti, 0])
+    fd = (at(v0 + h) - at(v0 - h)) / (2.0 * h)
+    np.testing.assert_allclose(g_ad, fd, rtol=2e-3, atol=1e-5)

@@ -19,11 +19,13 @@ Opt-in (renders 5 scenes on CPU, ~5 min): TPUPT_SLOW=1 python -m pytest tests/te
 """
 
 import os
+import subprocess
+import sys
 
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.skipif(
+_SLOW = pytest.mark.skipif(
     not os.environ.get("TPUPT_SLOW"), reason="slow reference-parity render; set TPUPT_SLOW=1"
 )
 
@@ -43,6 +45,7 @@ def _blocks(a, by=9, bx=16):
     return a[: h // by * by, : w // bx * bx].reshape(by, h // by, bx, w // bx, 3).mean(axis=(1, 3))
 
 
+@_SLOW
 @pytest.mark.parametrize("sid", sorted(CASES))
 def test_reference_demo_parity(sid):
     from PIL import Image
@@ -60,3 +63,94 @@ def test_reference_demo_parity(sid):
     np.testing.assert_allclose(ours.mean(), ref.mean(), atol=0.015)
     if block_tol is not None:
         np.testing.assert_allclose(_blocks(ours), _blocks(ref), atol=block_tol)
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions (VERDICT item 6): parity evidence in the default loop, and
+# coverage for scenes 3 & 7 (the reference repo's cornell.png / normals.png are
+# stripped blobs, so their ground truth is a cross-backend check instead).
+# ---------------------------------------------------------------------------
+
+# global-mean parity for the cheap externally-groundtruthed scenes runs in the
+# DEFAULT suite (64 px, 8 spp, seconds each on CPU); the 128 px block-level
+# comparison above stays behind TPUPT_SLOW.
+QUICK = {2: "earth", 4: "lights"}
+
+
+@pytest.mark.parametrize("sid", sorted(QUICK))
+def test_reference_global_mean_quick(sid):
+    from PIL import Image
+
+    from tpupt.render.renderer import render_image
+    from tpupt.scenes import SCENES
+
+    ref = np.asarray(
+        Image.open(os.path.join(DEMO_DIR, f"{QUICK[sid]}.png"))
+    ).astype(np.float32) / 255.0
+    name, build = SCENES[sid]
+    scene, cam = build(64, 8)
+    img, _, _ = render_image(scene.compile(), cam, rays_per_launch=1 << 14, progress=False)
+    ours = np.asarray(img).astype(np.float32) / 255.0
+    np.testing.assert_allclose(ours.mean(), ref.mean(), atol=0.02)
+
+
+_TPU_RENDER = r"""
+import sys
+import numpy as np
+import jax
+jax.config.update("jax_compilation_cache_dir", r"%(repo)s/.jax_cache")
+assert jax.default_backend() == "tpu", jax.default_backend()
+from tpupt.render.renderer import render_image
+from tpupt.scenes import SCENES
+sid = int(sys.argv[1])
+name, build = SCENES[sid]
+scene, cam = build(64, 8)
+_, mean, _ = render_image(scene.compile(), cam, rays_per_launch=1 << 16, progress=False)
+np.save(sys.argv[2], np.asarray(mean, np.float32))
+print("TPU_OK")
+"""
+
+
+@pytest.mark.parametrize("sid", [3, 7])
+def test_tpu_cpu_cross_backend_parity(sid, tmp_path):
+    """Scenes 3 (cornell) & 7 (normals): the reference PNGs are stripped from the
+    snapshot, so the external check is cross-backend — the TPU render (Pallas
+    kernels, f32 hardware) must statistically match the CPU render of the same
+    seeded estimator. Catches TPU-kernel-specific bugs the CPU suite cannot."""
+    if os.environ.get("TPUPT_NO_TPU"):
+        pytest.skip("TPU disabled via TPUPT_NO_TPU")
+    repo = os.path.dirname(os.path.dirname(__file__))
+    out = str(tmp_path / f"tpu_{sid}.npy")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [sys.executable, "-c", _TPU_RENDER % dict(repo=repo), str(sid), out],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=1500,
+    )
+    if r.returncode != 0 and ("tpu" in r.stderr.lower() or "backend" in r.stderr.lower()):
+        pytest.skip(f"no TPU attached: {r.stderr[-200:]}")
+    assert r.returncode == 0, r.stderr[-2000:]
+    tpu = np.load(out)
+
+    from tpupt.render.renderer import render_image
+    from tpupt.scenes import SCENES
+
+    name, build = SCENES[sid]
+    scene, cam = build(64, 8)
+    _, cpu, _ = render_image(scene.compile(), cam, rays_per_launch=1 << 16, progress=False)
+
+    # same estimator, same RNG stream — but paths through glass are chaotic
+    # (one f32 ulp of backend drift flips a refraction and the whole path), so
+    # identical-path comparison only holds for the diffuse-dominated scene 3;
+    # scene 7 (glass sphere + metal cuboid) is compared statistically.
+    np.testing.assert_allclose(tpu.mean(), cpu.mean(), rtol=0.03)
+    tb, cb = _blocks(np.asarray(tpu)), _blocks(np.asarray(cpu))
+    c = np.corrcoef(tb.ravel(), cb.ravel())[0, 1]
+    assert c > 0.985, c
+    rel = np.abs(tb - cb) / np.maximum(np.abs(cb), 0.05)
+    if sid == 3:
+        assert np.max(rel) < 0.15, np.max(rel)
+    else:
+        # glass-caustic blocks are pure Monte-Carlo noise at 8 spp; the robust
+        # center of the block distribution is what must agree
+        assert np.median(rel) < 0.12, np.median(rel)

@@ -11,11 +11,13 @@ slow), so all device math here is f32 and the CPU oracle runs the same code unde
 from __future__ import annotations
 
 import jax.numpy as jnp
-from .dtypes import REAL
+from .dtypes import NP_REAL, REAL
 
 EPS_OFFSET = 1e-3  # ray-origin offset along the geometric normal (bsdf/mod.rs:19)
 T_MIN = 1e-3  # minimum hit distance (camera.rs:171,179)
-BIG = REAL(3.0e38)  # stand-in for +inf distances (keeps f32 arithmetic finite)
+# numpy (host) scalar: a jnp scalar here would initialize the XLA backend at
+# import time, breaking jax.distributed.initialize on pods (tests/test_multiprocess.py)
+BIG = NP_REAL(3.0e38)  # stand-in for +inf distances (keeps f32 arithmetic finite)
 
 
 def dot(a, b):

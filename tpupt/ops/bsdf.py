@@ -31,9 +31,9 @@ from ..scene import data as D
 from . import sampling as S
 from .gather import take_rows
 from .texture import eval_scalar_texture, eval_texture
-from ..core.dtypes import REAL
+from ..core.dtypes import NP_REAL, REAL
 
-PI = REAL(jnp.pi)
+PI = NP_REAL(jnp.pi)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -20,9 +20,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .texture import eval_texture
-from ..core.dtypes import REAL, NP_REAL
+from ..core.dtypes import NP_REAL, REAL, NP_REAL
 
-PI = REAL(jnp.pi)
+PI = NP_REAL(jnp.pi)
 
 
 def _texel_from_dir(sd, direction):

@@ -246,11 +246,15 @@ def _tri_block(sd, i, blk, ox, oy, oz, dx, dy, dz, tmin, tmax):
 # ---------------------------------------------------------------------------
 
 
-def closest_hit(sd: "D.SceneData", o, d, time, tmin, tmax) -> Hit:
+def closest_hit(sd: "D.SceneData", o, d, time, tmin, tmax, alive=None) -> Hit:
     """Closest hit across all geometry (World::intersect_all, world.rs:47-62).
 
     Light geometry rows sit after object rows (scene/compile.py), so strict-min
     selection reproduces the reference's tie-break (objects win).
+
+    alive (optional [B] bool): lanes marked dead get a zero best-t seed in the
+    cluster kernel, so their stale rays stop inflating packet-row cluster unions
+    (their hit record is garbage either way — callers mask by alive).
     """
     ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
     dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
@@ -291,6 +295,8 @@ def closest_hit(sd: "D.SceneData", o, d, time, tmin, tmax) -> Hit:
         from .pallas_tri import pallas_closest_tri
 
         t_in = jnp.minimum(jnp.minimum(t_s, t_q), tmax)
+        if alive is not None:
+            t_in = jnp.where(alive, t_in, 0.0)  # dead lanes cull every cluster
         t_t, i_t, tri_aux = pallas_closest_tri(
             sd, o, d, t_in, tmin, interpret=jax.default_backend() != "tpu"
         )

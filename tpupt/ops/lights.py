@@ -25,9 +25,9 @@ import jax.numpy as jnp
 from ..core import linalg as la
 from ..scene import data as D
 from .gather import take_rows
-from ..core.dtypes import REAL
+from ..core.dtypes import NP_REAL, REAL
 
-TWO_PI = REAL(2.0 * jnp.pi)
+TWO_PI = NP_REAL(2.0 * jnp.pi)
 
 
 def sample_lights(sd: "D.SceneData", origin, time, u_pick, u1, u2):

@@ -236,16 +236,23 @@ def _tri_cluster_kernel(tmin_ref, sc_ref, cl_ref, pk_ref, pk2_ref, ox, oy, oz, d
         # attribute tables (hit_info/mesh.rs:84-101 semantics, measured ~us/lane
         # on TPU; the select-chain costs ~2x the bare intersection and is the
         # difference between 0.5M and multi-M rays/s on mesh scenes).
+        # NOTE: re-testing each queued cluster's AABB against the row's updated
+        # best_t (one lax.cond per cluster) was measured and REJECTED: 9.5 vs
+        # 10.8 M rays/s — the phase-B gate below already captures the win and
+        # SAH DFS order is not front-to-back enough to amortize the extra cond.
         def tri_body(i, carry, o_x=o_x, o_y=o_y, o_z=o_z, d_x=d_x, d_y=d_y, d_z=d_z):
+            c = squeue[i]
             best = carry  # (t, id, nx, ny, nz, uu, vv, matf), each (1,128)
             best_t = best[0]
-            c = squeue[i]
             blk = pk_ref[pl.ds(c * 8, 8), :]  # (8,128): one cluster, geometry
-            blk2 = pk2_ref[pl.ds(c * 8, 8), :]  # (8,128): shading attributes
+            # --- phase A: Möller–Trumbore over 8 slots, carrying only the
+            # candidate's (t, id, bary u, bary v, slot) — attributes are fetched
+            # in phase B, gated per cluster, because most box-hit clusters yield
+            # no triangle hit and attribute selection costs ~2x the MT test
             cand_t = jnp.full((SUBLANES, LANES), BIG, jnp.float32)
             cand_id = jnp.full((SUBLANES, LANES), BIG_IDF, jnp.float32)
             zeros = jnp.zeros((SUBLANES, LANES), jnp.float32)
-            cand = [cand_t, cand_id, zeros, zeros, zeros, zeros, zeros, zeros]
+            cand_u, cand_v, cand_g = zeros, zeros, zeros
             for g in range(8):  # 8 triangle slots of 8 rows each
                 base = g * N_FIELDS
                 v0x = blk[:, base + 0 : base + 1]
@@ -283,47 +290,53 @@ def _tri_cluster_kernel(tmin_ref, sc_ref, cl_ref, pk_ref, pk2_ref, ox, oy, oz, d
                     & (t < best_t)
                 )
                 upd = ok & (t < cand_t)
+                cand_t = jnp.where(upd, t, cand_t)
+                cand_id = jnp.where(upd, idf, cand_id)
+                cand_u = jnp.where(upd, u, cand_u)
+                cand_v = jnp.where(upd, v, cand_v)
+                cand_g = jnp.where(upd, float(g), cand_g)
+
+            def phase_b(best, blk_c=c):
+                blk2 = pk2_ref[pl.ds(blk_c * 8, 8), :]  # (8,128): shading attrs
+                row_t = jnp.min(cand_t, axis=0, keepdims=True)
+                row_id = jnp.min(
+                    jnp.where(cand_t <= row_t, cand_id, BIG_IDF), axis=0, keepdims=True
+                )
+                # select the winner's 15 attribute fields by slot comparison
+                attr = [jnp.zeros((SUBLANES, LANES), jnp.float32) for _ in range(16)]
+                for g in range(8):
+                    sel = cand_g == float(g)
+                    base = g * N_FIELDS
+                    for fidx in range(16):
+                        attr[fidx] = jnp.where(
+                            sel, blk2[:, base + fidx : base + fidx + 1], attr[fidx]
+                        )
                 # barycentric interpolation of normals/UVs (mesh.rs:84-101)
-                w = 1.0 - u - v
-                n_x = blk2[:, base + 0 : base + 1] * w + blk2[:, base + 3 : base + 4] * u \
-                    + blk2[:, base + 6 : base + 7] * v
-                n_y = blk2[:, base + 1 : base + 2] * w + blk2[:, base + 4 : base + 5] * u \
-                    + blk2[:, base + 7 : base + 8] * v
-                n_z = blk2[:, base + 2 : base + 3] * w + blk2[:, base + 5 : base + 6] * u \
-                    + blk2[:, base + 8 : base + 9] * v
-                matf = blk2[:, base + 15 : base + 16]
+                w = 1.0 - cand_u - cand_v
+                n_x = attr[0] * w + attr[3] * cand_u + attr[6] * cand_v
+                n_y = attr[1] * w + attr[4] * cand_u + attr[7] * cand_v
+                n_z = attr[2] * w + attr[5] * cand_u + attr[8] * cand_v
+                matf = attr[15]
                 has_uv = matf >= HAS_UV_FLAG
                 uu = jnp.where(
-                    has_uv,
-                    blk2[:, base + 9 : base + 10] * w + blk2[:, base + 11 : base + 12] * u
-                    + blk2[:, base + 13 : base + 14] * v,
-                    u,
+                    has_uv, attr[9] * w + attr[11] * cand_u + attr[13] * cand_v, cand_u
                 )
                 vv = jnp.where(
-                    has_uv,
-                    blk2[:, base + 10 : base + 11] * w + blk2[:, base + 12 : base + 13] * u
-                    + blk2[:, base + 14 : base + 15] * v,
-                    v,
+                    has_uv, attr[10] * w + attr[12] * cand_u + attr[14] * cand_v, cand_v
                 )
-                vals = (t, idf, n_x, n_y, n_z, uu, vv, matf)
-                cand = [jnp.where(upd, val, cd) for val, cd in zip(vals, cand)]
-                cand_t = cand[0]
-            cand_t, cand_id = cand[0], cand[1]
-            row_t = jnp.min(cand_t, axis=0, keepdims=True)
-            row_id = jnp.min(
-                jnp.where(cand_t <= row_t, cand_id, BIG_IDF), axis=0, keepdims=True
-            )
-            # exactly one (row, lane) matches row_id: sum-select its attributes
-            exact = cand_id == row_id
-            upd = row_t < best_t
-            out = [
-                jnp.where(upd, row_t, best[0]),
-                jnp.where(upd, row_id, best[1]),
-            ]
-            for j in range(2, 8):
-                row_f = jnp.sum(jnp.where(exact, cand[j], 0.0), axis=0, keepdims=True)
-                out.append(jnp.where(upd, row_f, best[j]))
-            return tuple(out)
+                # exactly one (row, lane) matches row_id: sum-select its values
+                exact = cand_id == row_id
+                upd = row_t < best_t
+                out = [
+                    jnp.where(upd, row_t, best[0]),
+                    jnp.where(upd, row_id, best[1]),
+                ]
+                for fld in (n_x, n_y, n_z, uu, vv, matf):
+                    row_f = jnp.sum(jnp.where(exact, fld, 0.0), axis=0, keepdims=True)
+                    out.append(jnp.where(upd, row_f, best[len(out)]))
+                return tuple(out)
+
+            return lax.cond(jnp.any(cand_id < BIG_IDF), phase_b, lambda b: b, best)
 
         zrow = jnp.zeros((1, LANES), jnp.float32)
         init = (t_seed, jnp.full((1, LANES), BIG_IDF, jnp.float32),

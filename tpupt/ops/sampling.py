@@ -18,9 +18,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core import linalg as la
-from ..core.dtypes import REAL
+from ..core.dtypes import NP_REAL, REAL
 
-PI = REAL(jnp.pi)
+PI = NP_REAL(jnp.pi)
 
 
 def cosine_sample_hemisphere(u1, u2):

@@ -42,8 +42,9 @@ def _image_lookup(sd, offset, w, h, u, v):
     i = jnp.minimum(jnp.floor(uu * w).astype(jnp.int32), w.astype(jnp.int32) - 1)
     j = jnp.minimum(jnp.floor(vv * h).astype(jnp.int32), h.astype(jnp.int32) - 1)
     idx = offset.astype(jnp.int32) + j * w.astype(jnp.int32) + i
-    # atlas stores Rgb8; scale at lookup like the reference (texture.rs:84-90)
-    return jnp.take(sd.atlas, idx, axis=0).astype(REAL) * REAL(1.0 / 255.0)
+    # atlas texels are u8-quantized at load (texture.rs:63-68) but stored f32:
+    # the gather is differentiable (scatter-add adjoint -> per-texel gradients)
+    return jnp.take(sd.atlas, idx, axis=0)
 
 
 def eval_texture(sd: "D.SceneData", tid, u, v, point):

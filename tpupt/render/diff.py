@@ -26,8 +26,10 @@ Design (Mitsuba-3-style *detached* estimator):
 What is differentiable today: `mat_params` (the Disney 11-vector per material — SURVEY
 section 2.1 principled.rs:23-42), `tex_rgb` (solid texture colors, which carry diffuse/
 metal/glass/principled base colors AND light emission), `env_color`, and `env_img`
-(the f32 HDR environment map, ops/envmap.py). Image-texture gathers read the u8 atlas
-(texture.rs:63-68 parity) and are not differentiated.
+(the f32 HDR environment map, ops/envmap.py), and `atlas` (image texels, stored f32
+with u8-quantized values for texture.rs:63-68 parity; the nearest-texel gather's
+scatter-add adjoint yields per-texel gradients — nearest, not bilinear, because the
+reference's lookup IS nearest and parity wins over smoother gradients).
 
 Verified per-pixel against central finite differences (BASELINE.md): max abs err
 1.8e-7 (env color) / 4.6e-7 (emission) / 1.1e-5 (albedo) via jax.vjp. CAVEAT: use
@@ -50,7 +52,7 @@ from ..core.dtypes import REAL
 
 
 # SceneData leaves exposed as differentiable parameters.
-DIFF_FIELDS = ("mat_params", "tex_rgb", "env_color", "env_img")
+DIFF_FIELDS = ("mat_params", "tex_rgb", "env_color", "env_img", "atlas")
 
 
 def init_params(sd) -> dict:

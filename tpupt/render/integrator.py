@@ -35,11 +35,11 @@ from ..ops import lights as light_ops
 from ..ops.bsdf import bsdf_eval, bsdf_pdf, bsdf_sample, make_shade
 from ..ops.envmap import sample_environment
 from ..ops.intersect import closest_hit
-from ..core.dtypes import REAL
+from ..core.dtypes import NP_REAL, REAL
 
-T_MIN = REAL(1e-3)  # camera.rs:171
+T_MIN = NP_REAL(1e-3)  # camera.rs:171
 T_MAX = la.BIG
-EPS = REAL(1e-3)  # bsdf/mod.rs:19
+EPS = NP_REAL(1e-3)  # bsdf/mod.rs:19
 MIN_BOUNCES = 5  # camera.rs:172
 
 
@@ -79,7 +79,7 @@ def bounce_step(
     """
     sg = lax.stop_gradient if detach else (lambda x: x)
 
-    hit = closest_hit(sd, o, d, time, T_MIN, T_MAX)
+    hit = closest_hit(sd, o, d, time, T_MIN, T_MAX, alive=alive)
 
     # miss -> environment (camera.rs:180-183)
     env = sample_environment(sd, d)
@@ -257,11 +257,17 @@ def trace_film_streamed(
             (s["sample"] < k) & ((s["sample0"] + s["sample"]) < spp_limit)
         )
 
+    # NOTE on ray sorting: re-sorting lanes by quantized direction each
+    # iteration (to shrink the packet kernel's per-row cluster unions) was
+    # measured and REJECTED: the [b] argsort + 20-array state gather cost 2.5x
+    # more than it saved on scene 6 (4.8 -> 1.9 M rays/s) — TPU sorts/gathers
+    # are the same ops that sank the per-lane BVH. Compaction below sorts only
+    # at the three occupancy thresholds, where it pays for itself.
     body = _make_stream_body(sd, cam, spp_limit, seed, k, max_depth, has_lights)
 
     # compaction schedule: only engage for batches big enough that the sort +
     # gathers are noise; always end with threshold 0 (run until all work done)
-    thresholds = [t for t in (b // 4, b // 16, b // 64) if t >= 4096] + [0]
+    thresholds = [t for t in (b // 2, b // 8, b // 32) if t >= 4096] + [0]
     bank = jnp.zeros((b, 3), REAL)
     for thr in thresholds:
         if thr:
@@ -286,14 +292,27 @@ def trace_film_streamed(
     return bank, state["rays"]
 
 
-def _make_stream_body(sd, cam, spp_limit, seed, k, max_depth, has_lights):
+def _make_stream_body(sd, cam, spp_limit, seed, k, max_depth, has_lights, sort_rays=False):
     """One wavefront iteration: regenerate exhausted lanes, bounce, flush films."""
     from .camera import generate_rays
 
     p_light = REAL(0.5 if has_lights else 0.0)
     p_bsdf = REAL(1.0) - p_light
 
+    def sort_state(s):
+        # 4 bits per direction axis -> 12-bit coherence key; dead lanes last
+        q = jnp.clip(((s["d"] + 1.0) * 8.0).astype(jnp.int32), 0, 15)
+        key = (q[..., 0] << 8) | (q[..., 1] << 4) | q[..., 2]
+        key = jnp.where(s["alive"], key, 1 << 14)
+        order = jnp.argsort(key, stable=True)
+        return {
+            kk: (v if jnp.ndim(v) == 0 else jnp.take(v, order, axis=0))
+            for kk, v in s.items()
+        }
+
     def body(s):
+        if sort_rays:
+            s = sort_state(s)
         o, d, time = s["o"], s["d"], s["time"]
         T, L, film, alive = s["throughput"], s["radiance"], s["film"], s["alive"]
         bounce, sample, cur_sample = s["bounce"], s["sample"], s["cur_sample"]

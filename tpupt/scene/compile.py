@@ -402,7 +402,7 @@ def compile_scene(scene: "B.Scene", bvh: bool | None = None) -> CompiledScene:
         np.concatenate(tables["atlas"], axis=0)
         if tables["atlas"]
         else np.zeros((1, 3), dtype=np.uint8)
-    )
+    ).astype(f32) / f32(255.0)  # u8-quantized values, f32 storage (differentiable leaf)
 
     data = D.SceneData(
         sph_c1=jnp.asarray(sph_c1),

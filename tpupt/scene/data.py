@@ -143,7 +143,11 @@ class SceneData:
     tex_inv_scale: jnp.ndarray  # [X] checker inv_scale (texture.rs:36)
     tex_child: jnp.ndarray  # [X,2] int32 checker children
     tex_img: jnp.ndarray  # [X,3] int32 (atlas offset, width, height)
-    atlas: jnp.ndarray  # [P,3] uint8 flattened Rgb8 pixels (texture.rs:63-68)
+    # flattened image texels as f32 in [0,1]. Values are u8-quantized at load
+    # (texture.rs:63-68 parity: images are converted to Rgb8) but stored f32 so
+    # the atlas is a differentiable leaf (render/diff.py: gather adjoints give
+    # per-texel gradients, SURVEY.md section 7.6)
+    atlas: jnp.ndarray  # [P,3] f32
 
     # environment (camera.rs:16-19,140-151)
     env_color: jnp.ndarray  # [3]
