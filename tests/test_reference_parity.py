@@ -74,7 +74,7 @@ def test_reference_demo_parity(sid):
 # global-mean parity for the cheap externally-groundtruthed scenes runs in the
 # DEFAULT suite (64 px, 8 spp, seconds each on CPU); the 128 px block-level
 # comparison above stays behind TPUPT_SLOW.
-QUICK = {2: "earth", 4: "lights"}
+QUICK = {2: "earth", 4: "lights", 5: "bsdf"}
 
 
 @pytest.mark.parametrize("sid", sorted(QUICK))

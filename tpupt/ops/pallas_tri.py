@@ -13,10 +13,11 @@ but moves the divergence to *packet* granularity, where the VPU is happy:
   slots x 16 lanes of fields — so a whole cluster is ONE aligned vector load:
   no gathers, no transposes, only static width-1 lane slices (measured
   supported + fast on v5e Mosaic);
-- rays are processed 128 per row (the lane axis). For each row the kernel slab-
-  tests 8 cluster AABBs at a time ((8,128) ops), reduces an any-lane-hit count
-  per cluster, and runs Möller–Trumbore ((8 tris,1) x (1,128 rays)) only for
-  clusters some lane hit — guarded by lax.cond so missed clusters cost ~nothing;
+- rays are processed 128 per row (the lane axis). Each row runs branch-free
+  phases: supercluster cull -> cluster cull (8 AABBs per (8,128) slab test,
+  hit bits packed into scalar words) -> branchless queue compaction -> Möller–
+  Trumbore ((8 tris,1) x (1,128 rays)) over exactly the queued clusters, with
+  the attribute interpolation gated per cluster behind one lax.cond;
 - the caller seeds best_t with the sphere/quad winner (ops/pallas_hit.py), so
   closer non-triangle geometry culls cluster visits for free.
 
@@ -42,7 +43,7 @@ LANES = 128
 SUBLANES = 8
 BLOCK = LANES * SUBLANES  # rays per grid step
 
-CLUSTER_TRIS = 64  # must equal ops.bvh.CLUSTER_MAX
+CLUSTER_TRIS = 64  # must equal ops.bvh.CLUSTER_MAX (asserted below)
 SUPER_CLUSTERS = 64  # clusters per supercluster (phase-0 cull granularity)
 N_FIELDS = 16  # lane stride per triangle slot
 # field offsets within a slot: v0(3), e1(3), e2(3), id
@@ -50,6 +51,10 @@ F_V0, F_E1, F_E2, F_ID = 0, 3, 6, 9
 
 # VMEM budget for the packed table (v5e has ~16 MB; leave room for ray tiles)
 MAX_PACKED_BYTES = 8 << 20
+
+from .bvh import CLUSTER_MAX as _CLUSTER_MAX  # noqa: E402
+
+assert CLUSTER_TRIS == _CLUSTER_MAX, "packed layout assumes the SAH cluster cut size"
 
 
 HAS_UV_FLAG = float(1 << 20)  # added to the mat field when the triangle has UVs
