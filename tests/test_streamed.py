@@ -71,3 +71,29 @@ def test_streamed_respects_spp_limit():
     film_a, _ = f_st(sd, cd, ids, rows, cols, jnp.int32(4), jnp.int32(6), jnp.uint32(0), 8, 12, True)
     film_b, _ = f_st(sd, cd, ids, rows, cols, jnp.int32(4), jnp.int32(6), jnp.uint32(0), 2, 12, True)
     np.testing.assert_allclose(np.asarray(film_a), np.asarray(film_b), rtol=2e-4, atol=2e-5)
+
+
+def test_padded_final_pixel_block_matches_single_launch():
+    """npix not divisible by the launch block: the padded lanes of the final
+    block must contribute nothing (they are deactivated via sample0 >= spp_limit
+    — they used to re-render pixel 0 at full cost) and the film must equal the
+    single-launch render exactly."""
+    from tpupt.render.camera import Camera
+    from tpupt.render.renderer import render_image
+    from tpupt.scene.builder import Diffuse, Light, Scene
+
+    s = Scene()
+    s.add_sphere(1.0, (0.0, 0.0, -3.0), Diffuse((0.6, 0.5, 0.4)))
+    s.add_sphere(0.4, (1.5, 1.5, -2.5), Light((5.0, 5.0, 5.0)), light=True)
+    s.environment = (0.2, 0.3, 0.4)
+    compiled = s.compile()
+    cam = Camera(
+        aspect_ratio=1.0, image_width=20, samples_per_pixel=8, max_depth=5,
+        vfov=30.0, look_from=(0, 0, 0), look_at=(0, 0, -1),
+        blur_strength=0.5, focal_length=3.0, defocus_angle=0.0,
+    )
+    # 400 pixels; block size 256 -> second block is 56% padding
+    _, m_blocks, st_b = render_image(compiled, cam, rays_per_launch=256, progress=False)
+    _, m_single, st_s = render_image(compiled, cam, rays_per_launch=1 << 14, progress=False)
+    np.testing.assert_allclose(m_blocks, m_single, rtol=1e-6, atol=1e-7)
+    assert st_b.launches > st_s.launches

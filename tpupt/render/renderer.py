@@ -41,7 +41,8 @@ class RenderStats:
 
 @partial(jax.jit, static_argnames=("k", "r", "max_depth", "has_lights", "width"))
 def _chunk_film(
-    sd, cam, pixel_ids, sample0, spp_limit, seed, *, k, r, max_depth, has_lights, width
+    sd, cam, pixel_ids, n_valid, sample0, spp_limit, seed, *, k, r, max_depth,
+    has_lights, width
 ):
     """Film sums of up to r*k samples per pixel in `pixel_ids` -> ([pb,3], rays).
 
@@ -51,12 +52,20 @@ def _chunk_film(
     block is smaller than the efficient lane count (Cornell 600px = 360k pixels
     vs ~1M lanes; measured +2x). Samples at or beyond spp_limit are never
     started, so fixed (k, r) never over-count on the final sample chunk.
+
+    Lanes past n_valid (the final pixel block's padding) get sample0 >= spp_limit
+    so they never start a path: they used to re-render pixel 0 at full cost —
+    up to ~30% of all launches' work on FHD configs (2.07M pixels over 1M-lane
+    blocks leaves the third block 93% padding); with compaction they now vanish
+    at the first occupancy threshold.
     """
     pb = pixel_ids.shape[0]
     pix = jnp.tile(pixel_ids, r)
     rows = pix // width
     cols = pix % width
     lane_sample0 = sample0 + jnp.repeat(jnp.arange(r, dtype=jnp.int32) * k, pb)
+    lane_valid = jnp.tile(jnp.arange(pb, dtype=jnp.int32) < n_valid, r)
+    lane_sample0 = jnp.where(lane_valid, lane_sample0, spp_limit)
     film, rays = trace_film_streamed(
         sd, cam, pix, rows, cols, lane_sample0, spp_limit, seed, k, max_depth, has_lights
     )
@@ -173,6 +182,7 @@ def _render_loop(
             sd,
             cam,
             jnp.asarray(ids),
+            jnp.int32(n_valid),
             jnp.int32(schunk * r * k),
             jnp.int32(spp),
             seed_u32,
