@@ -88,3 +88,81 @@ def test_sharded_grads_match_single_device():
             np.asarray(g8[k]), np.asarray(g1[k]), rtol=2e-4, atol=1e-5
         )
     assert float(jnp.abs(g1["mat_params"]).sum()) > 0.0
+
+
+def test_render_image_mesh_matches_single_device():
+    """The PRODUCTION renderer (render_image) sharded over the mesh: the streamed
+    wavefront runs per-device (shard-local regeneration + compaction) and the film
+    rides one psum per launch. Per-(pixel,sample) radiance is bit-identical to the
+    single-device path (counter RNG), so films match to f32 sum-order precision
+    and the total traced-ray count matches exactly."""
+    from tpupt.render.renderer import render_image
+    from tpupt.scenes import cornell_box_scene
+
+    scene, cam = cornell_box_scene(24, 16)
+    compiled = scene.compile()
+    _, mean1, st1 = render_image(compiled, cam, progress=False)
+    _, mean8, st8 = render_image(compiled, cam, progress=False, mesh=make_mesh(8))
+    assert st8.rays == st1.rays
+    np.testing.assert_allclose(mean8, mean1, rtol=1e-4, atol=1e-6)
+
+
+def test_render_image_mesh_scene6_triangles():
+    """Mesh-sharded render_image over a triangle-mesh scene (the BVH leg on this
+    CPU backend; the cluster kernel on TPU) — film equality vs single-device."""
+    from tpupt.render.renderer import render_image
+    from tpupt.scenes import everything_scene
+
+    scene, cam = everything_scene(24, 8)
+    cam.max_depth = 8
+    compiled = scene.compile()
+    _, mean1, st1 = render_image(compiled, cam, progress=False)
+    _, mean8, st8 = render_image(compiled, cam, progress=False, mesh=make_mesh(8))
+    assert st8.rays == st1.rays
+    np.testing.assert_allclose(mean8, mean1, rtol=1e-4, atol=1e-6)
+
+
+def test_render_image_mesh_multi_launch_checkpoint():
+    """Mesh render with multiple sample chunks per pixel block + checkpoint resume:
+    interrupting after the first launch and resuming must be bit-identical."""
+    import os
+    import tempfile
+
+    from tpupt.render.renderer import render_image
+    from tpupt.scenes import cornell_box_scene
+
+    scene, cam = cornell_box_scene(16, 32)
+    compiled = scene.compile()
+    mesh = make_mesh(4)
+    # k=1, r=4, 4 devices -> 16 samples/launch over spp=32 -> 2 launches
+    _, mean_full, st = render_image(
+        compiled, cam, progress=False, mesh=mesh, samples_per_launch=1
+    )
+    assert st.launches == 2
+
+    calls = {"n": 0}
+
+    class Stop(Exception):
+        pass
+
+    def interrupt(_mean, _frac):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise Stop
+
+    with tempfile.TemporaryDirectory() as td:
+        ck = os.path.join(td, "film.npz")
+        try:
+            render_image(
+                compiled, cam, progress=False, mesh=mesh, samples_per_launch=1,
+                checkpoint_path=ck, on_launch=interrupt,
+            )
+        except Stop:
+            pass
+        assert os.path.exists(ck)
+        _, mean_resumed, st2 = render_image(
+            compiled, cam, progress=False, mesh=mesh, samples_per_launch=1,
+            checkpoint_path=ck,
+        )
+    assert st2.launches == 2  # resumed from launch 1
+    np.testing.assert_array_equal(mean_resumed, mean_full)

@@ -45,6 +45,14 @@ def main(argv=None):
         help="full-f32 HDR environment + importance sampling (scenes 4 and 7; "
         "new capability — the reference quantizes .hdr maps to u8)",
     )
+    ap.add_argument(
+        "--mesh",
+        type=int,
+        default=None,
+        metavar="N",
+        help="scale the render over an N-device jax.sharding.Mesh (sample axis "
+        "sharded; film psum-reduced per launch). Requires N visible devices.",
+    )
     args = ap.parse_args(argv)
 
     width, spp = (1920, 4000) if args.quality else (600, 100)  # main.rs:633
@@ -87,6 +95,12 @@ def main(argv=None):
             print(f"--hdr-env: scene {args.scene} has no environment map; ignoring")
         else:
             kwargs["hdr_env"] = True
+    mesh = None
+    if args.mesh is not None:
+        from .parallel.sharding import make_mesh
+
+        mesh = make_mesh(args.mesh)
+
     scene, camera = build(width, spp, **kwargs)
     compiled = scene.compile()
     img, _, stats = render_image(
@@ -97,6 +111,7 @@ def main(argv=None):
         checkpoint_path=args.checkpoint,
         profile_dir=args.profile,
         debug_checks=args.debug_checks,
+        mesh=mesh,
     )
     save_png(out_path, img)
     print(
