@@ -4,8 +4,10 @@ Prints ONE JSON line for the headline config (Cornell box fast mode):
 {"metric", "value", "unit", "vs_baseline"}.
 
 Extra configs (VERDICT round-1 item 9 — bench breadth):
-- BENCH_SCENE=cornell|scene6|lights|lights_hdr selects the config;
-- BENCH_ALL=1 prints one JSON line PER config (headline line first);
+- ALL configs run by default (VERDICT round-2 item 3: the driver's JSON must
+  capture cornell, scene6, lights, lights_hdr and grads in one run; headline
+  line prints first);
+- BENCH_SCENE=cornell|scene6|lights|lights_hdr|grads runs one config;
 - BENCH_WIDTH / BENCH_SPP override the resolution/samples
   (BENCH_WIDTH=1920 BENCH_SPP=4000 = the FHD headline metric).
 
@@ -57,12 +59,56 @@ def _configs():
             "lights_hdr_is_rays_per_s_per_chip",
             lambda: environment_map_scene(WIDTH, min(BENCH_SPP, 100), hdr_env=True),
         ),
+        # backward pass: fwd+VJP rays/s through render_grads (run_grads below)
+        "grads": ("grads_rays_per_s_per_chip", None),
     }
+
+
+def run_grads():
+    """Backward-pass throughput (VERDICT round-2 item 4): rays/s through
+    render_grads (forward + VJP of the film sum w.r.t. all DIFF_FIELDS params)
+    on Cornell at depth 50. The ray count is the forward pass's scene
+    intersections; the rematerialized backward replays each once more, so this
+    is a conservative fwd+bwd figure. The segmented early-exit scan
+    (render/diff.py SEGMENT) is what makes depth-50 affordable — see BASELINE.md
+    for the A/B vs the naive 50-trip scan."""
+    from tpupt.render.diff import (
+        _value_and_grad_call, init_params, make_pixel_fn,
+    )
+    from tpupt.scenes import cornell_box_scene
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    spp = 32
+    scene, cam = cornell_box_scene(128, spp)
+    compiled = scene.compile()
+    w, h = cam.image_width, cam.image_height
+    npix = w * h
+    fn = make_pixel_fn(compiled, cam, with_rays=True)
+    pix = jnp.asarray(np.repeat(np.arange(npix, dtype=np.int32), spp))
+    rows, cols = pix // w, pix % w
+    samp = jnp.asarray(np.tile(np.arange(spp, dtype=np.int32), npix))
+    cot = jnp.ones((npix * spp, 3), jnp.float32) / spp
+    params = init_params(compiled.data)
+    args = (pix, rows, cols, samp, jnp.uint32(0))
+
+    _value_and_grad_call(fn, params, args, cot)  # compile warm-up
+    print("# grads: warmup done", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    _, grads, rays = _value_and_grad_call(fn, params, args, cot)
+    import jax
+
+    jax.block_until_ready(grads)
+    wall = time.perf_counter() - t0
+    return int(rays) / wall
 
 
 def run_config(name, make):
     from tpupt.render.renderer import render_image
 
+    if name == "grads":
+        return run_grads()
     scene, cam = make()
     compiled = scene.compile()
     print(f"# {name}: scene compiled", file=sys.stderr, flush=True)
@@ -78,10 +124,11 @@ def run_config(name, make):
 
 def main():
     configs = _configs()
-    if os.environ.get("BENCH_ALL", "") not in ("", "0"):
-        names = list(configs)
+    one = os.environ.get("BENCH_SCENE", "")
+    if one and os.environ.get("BENCH_ALL", "") in ("", "0"):
+        names = [one]
     else:
-        names = [os.environ.get("BENCH_SCENE", "cornell")]
+        names = list(configs)  # default: every config, headline first
 
     for name in names:
         metric, make = configs[name]

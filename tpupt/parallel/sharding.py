@@ -129,15 +129,19 @@ def sharded_grad_step(mesh: Mesh, max_depth: int, has_lights: bool):
     """Build a jitted SPMD forward+backward step: per-device sample shards, grads
     all-reduced over the mesh.
 
-    This is the backward analog of sharded_sample_step: every device traces its own
-    k samples of the pixel block with the detached-sampling scan integrator, computes
-    the VJP of its shard's film sum w.r.t. the differentiable parameter pytree
-    (mat_params / tex_rgb / env_color — render/diff.py), and the parameter gradients
-    ride one `psum` across the mesh (ICI on real hardware) together with the film.
-    The reference has no equivalent: its only reduction is rayon's implicit join
+    This is the backward analog of sharded_sample_step: every device traces its
+    own k samples of the pixel block with the detached-sampling segmented
+    integrator (render/diff.py segmented_film_vjp) and computes the VJP of its
+    shard's film sum w.r.t. the differentiable parameter pytree (mat_params /
+    tex_rgb / env_color / env_img / atlas). Parameter gradients are all-reduced
+    per BACKWARD SEGMENT (psum_axis="samples" inside the VJP loop): each 8-bounce
+    segment's grad chunk rides ICI while the next segment's backward compute
+    runs, overlapping communication with the remaining backward wavefront
+    (BASELINE.json north star) instead of one serialized psum at the end. The
+    reference has no equivalent: its only reduction is rayon's implicit join
     (camera.rs:102).
     """
-    from ..render.diff import apply_params, trace_radiance_scan
+    from ..render.diff import segmented_film_vjp
 
     def build(k_per_device: int):
         @partial(
@@ -157,17 +161,13 @@ def sharded_grad_step(mesh: Mesh, max_depth: int, has_lights: bool):
             rr = jnp.tile(rows, k_per_device)
             cc = jnp.tile(cols, k_per_device)
 
-            def f(p):
-                radiance = trace_radiance_scan(
-                    apply_params(sd, p), cam, pix, rr, cc, local_samples, seed,
-                    max_depth, has_lights,
-                )
-                return radiance.reshape(k_per_device, pb, 3).sum(axis=0)
-
-            film, vjp = jax.vjp(f, params)
-            (grads,) = vjp(jnp.ones_like(film))
+            radiance, grads = segmented_film_vjp(
+                params, sd, cam, pix, rr, cc, local_samples, seed, max_depth,
+                has_lights, jnp.ones((pix.shape[0], 3), REAL),
+                psum_axis="samples",
+            )
+            film = radiance.reshape(k_per_device, pb, 3).sum(axis=0)
             film = jax.lax.psum(film, "samples")
-            grads = jax.lax.psum(grads, "samples")
             return film, grads
 
         return jax.jit(sharded)

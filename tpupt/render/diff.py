@@ -65,13 +65,29 @@ def apply_params(sd, params: dict):
     return dataclasses.replace(sd, **params)
 
 
+# bounces per early-exit segment (VERDICT round-2 item 4). Path length is
+# RR-bounded (p = clamp(lum(T), 0.01, 1) after bounce 5, camera.rs:190-196), so
+# on typical scenes nearly every lane is dead long before max_depth=50; a naive
+# fixed-trip scan still runs (and re-runs under rematerialized backward) all 50
+# bounces. Segmenting the scan and gating each segment on jnp.any(alive) with
+# lax.cond skips dead segments in BOTH directions: cond's VJP re-evaluates the
+# predicate from the (checkpointed) carry, so the backward pass takes the
+# identity branch for segments the forward pass skipped.
+SEGMENT = 8
+
+
 def trace_radiance_scan(
-    sd, cam, pixel_ids, rows, cols, sample_ids, seed, max_depth, has_lights
+    sd, cam, pixel_ids, rows, cols, sample_ids, seed, max_depth, has_lights,
+    segment_size=SEGMENT, with_rays=False,
 ):
     """Reverse-differentiable twin of trace_radiance: lax.scan over bounces.
 
     Same estimator, same RNG stream, same return value (radiance [B,3]) — but a
-    fixed-trip scan instead of a while_loop, with the detached-sampling bounce body.
+    fixed-trip scan instead of a while_loop, with the detached-sampling bounce
+    body. Bounces run in segments of `segment_size` gated on any-lane-alive
+    (early exit; 0 disables segmenting — the naive baseline the bench A/Bs
+    against). with_rays=True additionally returns the traced-ray count
+    (scene intersections, the rays/s unit) as a uint32.
     """
     from .camera import generate_rays
 
@@ -86,29 +102,134 @@ def trace_radiance_scan(
         jnp.ones((b, 3), REAL),  # throughput
         jnp.zeros((b, 3), REAL),  # radiance
         jnp.ones((b,), bool),  # alive
+        jnp.uint32(0),  # rays traced (non-diff; integer carries are AD-inert)
     )
 
     @jax.checkpoint
     def body(carry, bounce):
-        o, d, T, L, alive = carry
+        o, d, T, L, alive, rays = carry
+        # identity for bounce < max_depth; kills the segment-padding trips
+        alive = alive & (bounce < max_depth)
+        rays = rays + jnp.sum(alive).astype(jnp.uint32)
         o_n, d_n, T, L, alive = bounce_step(
             sd, o, d, time, T, L, alive, bounce, pixel_ids, sample_ids, seed,
             p_light, p_bsdf, has_lights, detach=True,
         )
         o = jnp.where(alive[..., None], o_n, o)
         d = jnp.where(alive[..., None], d_n, d)
-        return (o, d, T, L, alive), None
+        return (o, d, T, L, alive, rays), None
 
-    (_, _, _, L, _), _ = lax.scan(body, state, jnp.arange(max_depth, dtype=jnp.int32))
-    return L
+    if segment_size:
+        n_seg = -(-max_depth // segment_size)
+
+        def seg_body(carry, seg):
+            def run(c):
+                c2, _ = lax.scan(
+                    body, c,
+                    seg * segment_size + jnp.arange(segment_size, dtype=jnp.int32),
+                )
+                return c2
+
+            return lax.cond(jnp.any(carry[4]), run, lambda c: c, carry), None
+
+        (_, _, _, L, _, rays), _ = lax.scan(
+            seg_body, state, jnp.arange(n_seg, dtype=jnp.int32)
+        )
+    else:
+        (_, _, _, L, _, rays), _ = lax.scan(
+            body, state, jnp.arange(max_depth, dtype=jnp.int32)
+        )
+    return (L, rays) if with_rays else L
 
 
-def make_pixel_fn(compiled, camera):
+def segmented_film_vjp(
+    params, sd, cam, pixel_ids, rows, cols, sample_ids, seed, max_depth,
+    has_lights, cotangent, *, segment_size=SEGMENT, psum_axis=None,
+):
+    """Radiance + parameter grads via an explicitly segmented backward pass.
+
+    Same estimator and gradients as vjp(trace_radiance_scan), but the scan over
+    bounce segments is unrolled into a static Python loop so the backward pass
+    is a sequence of per-segment VJPs. Two things fall out of that structure:
+
+    - *early exit* both ways: each segment is gated on any-lane-alive with
+      lax.cond, and the backward vjp of a skipped segment takes the identity
+      branch;
+    - *communication overlap* (VERDICT round-2 item 10, BASELINE.json: "gradient
+      all-reduce overlaps the backward wavefront"): with psum_axis set (inside
+      shard_map), each segment's parameter-gradient chunk is all-reduced as soon
+      as that segment's VJP produces it. No later segment depends on the psum
+      results — only the final tree-sum does — so XLA's latency-hiding scheduler
+      is free to run the collective concurrently with the next (earlier-bounce)
+      segment's backward compute, instead of serializing one big psum after the
+      whole backward finishes (the old sharded_grad_step shape).
+
+    cotangent is per-lane [B,3] (d loss / d radiance). Returns (radiance [B,3],
+    grads pytree [psum-reduced if psum_axis]).
+    """
+    from .camera import generate_rays
+
+    o, d, time = generate_rays(cam, rows, cols, pixel_ids, sample_ids, seed)
+    b = pixel_ids.shape[0]
+    p_light = REAL(0.5 if has_lights else 0.0)
+    p_bsdf = REAL(1.0) - p_light
+    n_seg = -(-max_depth // segment_size)
+
+    def seg_f(p, carry, seg):
+        sd_p = apply_params(sd, p)
+
+        @jax.checkpoint
+        def body(c, bounce):
+            o, d, T, L, alive = c
+            alive = alive & (bounce < max_depth)
+            o_n, d_n, T, L, alive = bounce_step(
+                sd_p, o, d, time, T, L, alive, bounce, pixel_ids, sample_ids,
+                seed, p_light, p_bsdf, has_lights, detach=True,
+            )
+            o = jnp.where(alive[..., None], o_n, o)
+            d = jnp.where(alive[..., None], d_n, d)
+            return (o, d, T, L, alive), None
+
+        def run(c):
+            c2, _ = lax.scan(
+                body, c,
+                seg * segment_size + jnp.arange(segment_size, dtype=jnp.int32),
+            )
+            return c2
+
+        return lax.cond(jnp.any(carry[4]), run, lambda c: c, carry)
+
+    # ---- forward: save segment-boundary carries (n_seg+1 states, O(B) each) ----
+    carry = (o, d, jnp.ones((b, 3), REAL), jnp.zeros((b, 3), REAL), jnp.ones((b,), bool))
+    carries = [carry]
+    for s in range(n_seg):
+        carry = seg_f(params, carry, s)
+        carries.append(carry)
+    radiance = carry[3]
+
+    # ---- backward: per-segment VJP, psum each grad chunk as it appears ----
+    import numpy as np
+
+    f0 = np.zeros((b,), dtype=jax.dtypes.float0)  # bool carries take float0 cts
+    zero3 = jnp.zeros((b, 3), REAL)
+    ct = (zero3, zero3, zero3, jnp.asarray(cotangent, REAL), f0)
+    grads = None
+    for s in reversed(range(n_seg)):
+        _, vjp = jax.vjp(lambda p, c: seg_f(p, c, s), params, carries[s])
+        gp, ct = vjp(ct)
+        if psum_axis is not None:
+            gp = jax.lax.psum(gp, psum_axis)
+        grads = gp if grads is None else jax.tree.map(jnp.add, grads, gp)
+    return radiance, grads
+
+
+def make_pixel_fn(compiled, camera, with_rays=False, segment_size=SEGMENT):
     """Build `f(params, pixel_ids, rows, cols, sample_ids, seed) -> radiance [B,3]`.
 
     The returned function is pure in `params` (the DIFF_FIELDS pytree) and composes
     with jax.grad / jax.vjp / jax.jit. Sample averaging is the caller's job: pass
     (pixel, sample) pairs flattened along the batch axis like the forward renderer.
+    with_rays=True makes it return (radiance, rays_traced) instead.
     """
     sd = compiled.data
     cam = camera.init()
@@ -118,7 +239,7 @@ def make_pixel_fn(compiled, camera):
     def f(params, pixel_ids, rows, cols, sample_ids, seed):
         return trace_radiance_scan(
             apply_params(sd, params), cam, pixel_ids, rows, cols, sample_ids, seed,
-            max_depth, has_lights,
+            max_depth, has_lights, segment_size=segment_size, with_rays=with_rays,
         )
 
     return f
@@ -126,9 +247,13 @@ def make_pixel_fn(compiled, camera):
 
 @partial(jax.jit, static_argnames=("fn",))
 def _value_and_grad_call(fn, params, args, cotangent):
-    val, vjp = jax.vjp(lambda p: fn(p, *args), params)
-    (grads,) = vjp(cotangent)
-    return val, grads
+    """fn must return (radiance, rays): VJP w.r.t. params with rays as aux."""
+    import numpy as np
+
+    (val, rays), vjp = jax.vjp(lambda p: fn(p, *args), params)
+    # integer outputs take float0 cotangents
+    (grads,) = vjp((cotangent, np.zeros((), dtype=jax.dtypes.float0)))
+    return val, grads, rays
 
 
 def render_grads(
@@ -138,6 +263,8 @@ def render_grads(
     spp: int,
     seed: int = 0,
     cotangent=None,
+    segment_size=SEGMENT,
+    return_stats=False,
 ):
     """Pixel radiances + parameter gradients for a pixel block.
 
@@ -145,10 +272,13 @@ def render_grads(
     d<sum(cotangent * radiance)>/d{mat_params, tex_rgb, env_color}).
     cotangent defaults to ones — i.e. the gradient of the total (white) image sum,
     averaged per sample so grads are per-pixel-mean scale.
+    return_stats=True appends the traced-ray count (forward scene intersections;
+    the backward replays each of them once more under rematerialization, so a
+    fwd+bwd "rays/s" figure uses this count against the combined wall time).
     """
     import numpy as np
 
-    fn = make_pixel_fn(compiled, camera)
+    fn = make_pixel_fn(compiled, camera, with_rays=True, segment_size=segment_size)
     w = camera.image_width
     pix = jnp.asarray(np.repeat(np.asarray(pixel_ids, np.int32), spp))
     rows, cols = pix // w, pix % w
@@ -163,8 +293,10 @@ def render_grads(
         ) / spp
 
     params = init_params(compiled.data)
-    val, grads = _value_and_grad_call(
+    val, grads, rays = _value_and_grad_call(
         fn, params, (pix, rows, cols, samp, jnp.uint32(seed)), cot.reshape(-1, 3)
     )
     radiance = val.reshape(npix, spp, 3).mean(axis=1)
+    if return_stats:
+        return radiance, grads, int(rays)
     return radiance, grads

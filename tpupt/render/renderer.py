@@ -40,6 +40,34 @@ class RenderStats:
         return self.rays / self.wall_s if self.wall_s > 0 else 0.0
 
 
+def _morton_pixel_order(w: int, h: int) -> np.ndarray:
+    """Pixel ids in Z-order (Morton) instead of scanline order.
+
+    The wavefront's lane order IS the Pallas kernels' packet order: 128
+    consecutive lanes form one kernel row, and the cluster packet kernel
+    (ops/pallas_tri.py) traverses the UNION of a row's hit clusters. In
+    scanline order a row is a 128x1 strip of the image; in Z-order it is a
+    16x8 tile, whose primary/low-bounce rays span a far tighter frustum, so
+    per-row cluster unions shrink. Pure host-side permutation: the film
+    scatter is by explicit pixel id, per-pixel radiance is RNG-counter
+    deterministic, so the rendered image is bit-identical to scanline order.
+    """
+
+    def part1by1(x):
+        x = x.astype(np.uint64)
+        x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+        x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return x
+
+    cols = np.tile(np.arange(w, dtype=np.int64), h)
+    rows = np.repeat(np.arange(h, dtype=np.int64), w)
+    code = part1by1(cols) | (part1by1(rows) << np.uint64(1))
+    return np.argsort(code, kind="stable").astype(np.int32)
+
+
 def _chunk_film_body(
     sd, cam, pixel_ids, n_valid, sample0, spp_limit, seed, *, k, r, max_depth,
     has_lights, width
@@ -194,8 +222,10 @@ def render_image(
     n_sample_chunks = (spp + spl - 1) // spl
     total_launches = n_pixel_blocks * n_sample_chunks
 
+    # trailing 1 = pixel-order version (Morton since round 3): a checkpoint
+    # written under a different lane order must not resume into this schedule
     fingerprint = np.array(
-        [w, h, spp, seed, pb, k, r, camera.max_depth, n_dev], dtype=np.int64
+        [w, h, spp, seed, pb, k, r, camera.max_depth, n_dev, 1], dtype=np.int64
     )
     film = np.zeros((npix, 3), dtype=np.float64)
     stats = RenderStats()
@@ -232,6 +262,31 @@ def render_image(
         )
 
 
+# Fault-injection hook (tests only): called as _fault_hook(launch_index) before
+# every launch attempt; raising from it simulates a transient launch failure
+# (device preemption, interconnect hiccup). See test_faults.py.
+_fault_hook = None
+
+
+def _transient_errors() -> tuple:
+    """Exception types treated as transient launch failures worth one retry.
+
+    Launches are pure functions of (scene, camera, ids, sample0, seed), so a
+    retry re-traces the exact same paths — a successful retry is bit-identical
+    to a launch that never failed. This is the launch-level elastic-recovery
+    half of SURVEY.md section 5 (the reference just unwrap()-panics,
+    texture.rs:63-67); the other half is the checkpoint/resume in render_image.
+    """
+    import jax
+
+    errs = [RuntimeError]
+    for name in ("JaxRuntimeError",):
+        e = getattr(jax.errors, name, None)
+        if e is not None:
+            errs.append(e)
+    return tuple(errs)
+
+
 def _render_loop(
     compiled, camera, sd, cam, film, stats, start_it, total_launches,
     n_pixel_blocks, n_sample_chunks, pb, k, r, npix, w, h, spp, seed_u32,
@@ -249,22 +304,35 @@ def _render_loop(
             has_lights=compiled.has_lights, width=w,
         )
         spl = r * k
+    order = _morton_pixel_order(w, h)
     for it in range(start_it, total_launches):
         pblk, schunk = divmod(it, n_sample_chunks)
         lo = pblk * pb
-        ids = np.arange(lo, min(lo + pb, npix), dtype=np.int32)
+        ids = order[lo : min(lo + pb, npix)]
         n_valid = len(ids)
         if n_valid < pb:  # pad final block (padded rows dropped below)
             ids = np.concatenate([ids, np.zeros(pb - n_valid, np.int32)])
-        out, rays = chunk_fn(
-            sd,
-            cam,
-            jnp.asarray(ids),
-            jnp.int32(n_valid),
-            jnp.int32(schunk * spl),
-            jnp.int32(spp),
-            seed_u32,
-        )
+        for attempt in (0, 1):  # one launch-level retry on transient failure
+            try:
+                if _fault_hook is not None:
+                    _fault_hook(it)
+                out, rays = chunk_fn(
+                    sd,
+                    cam,
+                    jnp.asarray(ids),
+                    jnp.int32(n_valid),
+                    jnp.int32(schunk * spl),
+                    jnp.int32(spp),
+                    seed_u32,
+                )
+                # surface async device errors inside the retry scope
+                out = jax.block_until_ready(out)
+                break
+            except _transient_errors():
+                if attempt == 1:
+                    raise
+                if progress:
+                    print(f"  launch {it} failed transiently; retrying", flush=True)
         if debug_checks:
             bad = ~np.isfinite(np.asarray(out)[:n_valid])
             if bad.any():
