@@ -172,6 +172,85 @@ def test_cluster_render_matches_sweep():
     np.testing.assert_allclose(m_cl, m_sw, rtol=1e-4, atol=1e-4)
 
 
+def test_hbm_cluster_kernel_matches_sweep():
+    """The HBM-resident kernel (VERDICT round-2 item 5: packed tables in HBM,
+    clusters DMA-staged through a double-buffered VMEM scratch, paired static
+    slots, pad-cluster queue padding) must be hit-for-hit equal to the dense
+    sweep — same oracle as the VMEM kernel, interpret mode on CPU."""
+    sd = _bunny_sd()
+    sd_cl = dataclasses.replace(
+        sd, has_tri_bvh=False, has_tri_clusters=False, has_tri_clusters_hbm=True
+    )
+    sd_sw = dataclasses.replace(
+        sd, has_tri_bvh=False, has_tri_clusters=False, has_tri_clusters_hbm=False
+    )
+
+    rng = np.random.default_rng(11)
+    b = 2048
+    o = rng.normal(size=(b, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=1, keepdims=True) * 8.0
+    d = rng.normal(size=(b, 3)).astype(np.float32) * 1.5 - o
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    time = jnp.zeros((b,), jnp.float32)
+    tmin, tmax = jnp.float32(1e-3), jnp.float32(3e38)
+
+    h_cl = jax.jit(lambda: closest_hit(sd_cl, o, d, time, tmin, tmax))()
+    h_sw = jax.jit(lambda: closest_hit(sd_sw, o, d, time, tmin, tmax))()
+
+    np.testing.assert_array_equal(np.asarray(h_cl.valid), np.asarray(h_sw.valid))
+    hv = np.asarray(h_sw.valid)
+    assert hv.mean() > 0.1
+    np.testing.assert_allclose(
+        np.asarray(h_cl.t)[hv], np.asarray(h_sw.t)[hv], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(h_cl.ng)[hv], np.asarray(h_sw.ng)[hv], atol=1e-5)
+    assert (np.asarray(h_cl.mat_id) == np.asarray(h_sw.mat_id)).all()
+
+
+def test_hbm_kernel_matches_vmem_kernel_odd_queue():
+    """HBM vs VMEM kernel equality on rays crafted to produce odd-length
+    cluster queues (regression for the pad-cluster pairing logic)."""
+    from tpupt.ops.pallas_tri import pallas_closest_tri
+
+    sd = _bunny_sd()
+    rng = np.random.default_rng(5)
+    b = 1024
+    # grazing rays from inside the bunny's bbox: long, odd queues
+    o = rng.uniform(-1.0, 1.0, size=(b, 3)).astype(np.float32)
+    d = rng.normal(size=(b, 3)).astype(np.float32)
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    t_in = jnp.full((b,), 3e38, jnp.float32)
+    t_v, i_v, aux_v = jax.jit(
+        lambda: pallas_closest_tri(sd, o, d, t_in, 1e-3, interpret=True, hbm=False)
+    )()
+    t_h, i_h, aux_h = jax.jit(
+        lambda: pallas_closest_tri(sd, o, d, t_in, 1e-3, interpret=True, hbm=True)
+    )()
+    np.testing.assert_array_equal(np.asarray(t_v), np.asarray(t_h))
+    np.testing.assert_array_equal(np.asarray(i_v), np.asarray(i_h))
+    for k in aux_v:
+        np.testing.assert_array_equal(np.asarray(aux_v[k]), np.asarray(aux_h[k]))
+
+
+def test_compiler_routes_large_scenes_to_hbm(monkeypatch):
+    """A scene whose packed tables exceed the VMEM budget must compile to the
+    HBM cluster path (not silently degrade to the dense sweep)."""
+    import tpupt.ops.pallas_tri as PT
+    import tpupt.scene.compile as C
+
+    monkeypatch.setattr(PT, "MAX_PACKED_BYTES", 1 << 10)  # force "too big"
+    monkeypatch.setattr(C, "_default_backend_is_tpu", lambda: True)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    s = Scene()
+    s.add_mesh(load_obj(BUNNY), Diffuse((0.7, 0.7, 0.7)), scale=20.0)
+    s.environment = (1.0, 1.0, 1.0)
+    sd = s.compile().data
+    assert sd.has_tri_clusters_hbm and not sd.has_tri_clusters
+    assert sd.tri_pk.shape[0] == sd.tri_cl.shape[0] * 8
+
+
 def test_sah_beats_morton_build_quality():
     """VERDICT round-1 item 4: the binned-SAH tree must dominate the Morton
     median-split build on traversal metrics (node visits + leaf triangle tests),

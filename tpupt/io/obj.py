@@ -88,3 +88,49 @@ def load_obj(path: str, native: bool = True):
         "uvs": np.asarray(out_uv, dtype=np.float32) if any_t else None,
         "indices": np.asarray(faces, dtype=np.int32),
     }
+
+
+def subdivide_mesh(mesh: dict, levels: int = 1) -> dict:
+    """Midpoint 1->4 triangle subdivision (linear, no smoothing).
+
+    Edge midpoints are shared between adjacent triangles; normals are averaged
+    and renormalized, UVs averaged. Used to synthesize >128k-triangle scenes
+    (the reference ships no mega-mesh assets) that exercise the HBM-resident
+    cluster path (ops/pallas_tri.py: tables beyond MAX_PACKED_BYTES stay in
+    HBM and are DMA-staged per cluster).
+    """
+    for _ in range(levels):
+        pos, nrm, uv, idx = (
+            mesh["positions"], mesh["normals"], mesh["uvs"], mesh["indices"]
+        )
+        pos_l = list(pos)
+        nrm_l = None if nrm is None else list(nrm)
+        uv_l = None if uv is None else list(uv)
+        mid = {}
+
+        def midpoint(a, b):
+            key = (a, b) if a < b else (b, a)
+            m = mid.get(key)
+            if m is None:
+                m = len(pos_l)
+                pos_l.append((pos[a] + pos[b]) * 0.5)
+                if nrm_l is not None:
+                    n = nrm[a] + nrm[b]
+                    ln = float(np.linalg.norm(n))
+                    nrm_l.append(n / ln if ln > 1e-12 else nrm[a])
+                if uv_l is not None:
+                    uv_l.append((uv[a] + uv[b]) * 0.5)
+                mid[key] = m
+            return m
+
+        faces = np.empty((len(idx) * 4, 3), dtype=np.int32)
+        for f, (i0, i1, i2) in enumerate(np.asarray(idx)):
+            a, b, c = midpoint(i0, i1), midpoint(i1, i2), midpoint(i2, i0)
+            faces[4 * f : 4 * f + 4] = [[i0, a, c], [a, i1, b], [c, b, i2], [a, b, c]]
+        mesh = {
+            "positions": np.asarray(pos_l, dtype=np.float32),
+            "normals": None if nrm_l is None else np.asarray(nrm_l, dtype=np.float32),
+            "uvs": None if uv_l is None else np.asarray(uv_l, dtype=np.float32),
+            "indices": faces,
+        }
+    return mesh

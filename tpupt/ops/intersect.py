@@ -287,11 +287,13 @@ def closest_hit(sd: "D.SceneData", o, d, time, tmin, tmax, alive=None) -> Hit:
             nq, lambda i, blk: _quad_block(sd, i, blk, ox, oy, oz, dx, dy, dz, tmin, tmax)
         )
     tri_aux = None
-    if sd.has_tri_clusters:
+    if sd.has_tri_clusters or sd.has_tri_clusters_hbm:
         # TPU path: SAH cluster packet kernel (ops/pallas_tri.py), seeded with
         # the sphere/quad winner so closer geometry culls cluster visits free;
         # the kernel also returns the winner's interpolated shading attributes
-        # so no gather over the big triangle tables happens below
+        # so no gather over the big triangle tables happens below. Tables live
+        # in VMEM when they fit (has_tri_clusters) and in HBM with DMA staging
+        # beyond the ~128k-tri VMEM budget (has_tri_clusters_hbm).
         from .pallas_tri import pallas_closest_tri
 
         t_in = jnp.minimum(jnp.minimum(t_s, t_q), tmax)

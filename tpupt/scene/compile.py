@@ -269,6 +269,7 @@ def compile_scene(scene: "B.Scene", bvh: bool | None = None) -> CompiledScene:
     tri_mat = np.array([t[6] for t in tri_real], dtype=np.int32)
 
     tri_perm = None
+    use_hbm_clusters = False
     tri_cl = np.zeros((8, 8), dtype=f32)
     tri_cl[:, 0:6] = 1e30  # pad boxes: slab test can never pass
     tri_pk = np.zeros((64, 128), dtype=f32)
@@ -280,7 +281,9 @@ def compile_scene(scene: "B.Scene", bvh: bool | None = None) -> CompiledScene:
         # ops/bvh.py — replaces bvh.rs SAH recursion + mesh.rs:195 nested trees)
         # and the cluster packet tables (TPU path, ops/pallas_tri.py)
         from ..ops.bvh import build_tri_bvh_sah
-        from ..ops.pallas_tri import MAX_PACKED_BYTES, pack_clusters
+        from ..ops.pallas_tri import (
+            MAX_HBM_CLUSTERS, MAX_PACKED_BYTES, pack_clusters,
+        )
 
         order, nodes, clusters = build_tri_bvh_sah(tri_v0, tri_e1, tri_e2)
         tri_perm = order  # new_index_of_old: inverse permutation, built below
@@ -299,7 +302,16 @@ def compile_scene(scene: "B.Scene", bvh: bool | None = None) -> CompiledScene:
         )
         if pk.nbytes + pk2.nbytes <= MAX_PACKED_BYTES:
             tri_cl, tri_pk, tri_pk2, tri_scl = cl_box, pk, pk2, sc_box
-        else:  # tables too big for VMEM residency: fall back to the sweep
+        elif cl_box.shape[0] <= MAX_HBM_CLUSTERS:
+            # tables too big for VMEM residency: keep them HBM-resident and let
+            # the kernel DMA-stage clusters (ops/pallas_tri.py
+            # _tri_cluster_kernel_hbm). Lifts the ~128k-tri cap to ~512k; the
+            # reference handles arbitrary mesh sizes via heap BVHs
+            # (mesh.rs:149-197), this is the TPU equivalent.
+            tri_cl, tri_pk, tri_pk2, tri_scl = cl_box, pk, pk2, sc_box
+            use_hbm_clusters = use_clusters
+            use_clusters = False
+        else:  # beyond the SMEM queue bound: fall back to the sweep
             use_clusters = False
     else:
         bvh_min = np.zeros((1, 3), dtype=f32)
@@ -462,6 +474,7 @@ def compile_scene(scene: "B.Scene", bvh: bool | None = None) -> CompiledScene:
         has_tri_bvh=use_bvh,
         has_tri_mxu=use_mxu,
         has_tri_clusters=use_clusters,
+        has_tri_clusters_hbm=use_hbm_clusters,
         tri_cl=jnp.asarray(tri_cl),
         tri_pk=jnp.asarray(tri_pk),
         tri_pk2=jnp.asarray(tri_pk2),

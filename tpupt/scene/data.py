@@ -70,6 +70,7 @@ _STATIC_FIELDS = (
     "has_tri_mxu",
     "use_pallas_hit",
     "has_tri_clusters",
+    "has_tri_clusters_hbm",
 )
 
 
@@ -204,6 +205,10 @@ class SceneData:
     has_tri_mxu: bool = False  # triangle sweep runs as MXU matmuls
     use_pallas_hit: bool = False  # sphere+quad legs run as the fused Pallas kernel
     has_tri_clusters: bool = False  # triangle leg runs the Pallas cluster kernel
+    # same kernel family with the packed tables resident in HBM and clusters
+    # staged through a double-buffered VMEM scratch by async DMA — lifts the
+    # ~128k-triangle VMEM cap (ops/pallas_tri.py MAX_PACKED_BYTES) to ~512k
+    has_tri_clusters_hbm: bool = False
 
     @property
     def n_spheres(self):
