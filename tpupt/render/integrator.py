@@ -265,9 +265,18 @@ def trace_film_streamed(
     # at the three occupancy thresholds, where it pays for itself.
     body = _make_stream_body(sd, cam, spp_limit, seed, k, max_depth, has_lights)
 
-    # compaction schedule: only engage for batches big enough that the sort +
-    # gathers are noise; always end with threshold 0 (run until all work done)
-    thresholds = [t for t in (b // 2, b // 8, b // 32) if t >= 4096] + [0]
+    # compaction schedule. Cluster scenes (round 3): instrumentation showed the
+    # packet kernel's per-iteration cost is nearly flat in occupancy — a dead
+    # lane costs ~as much as a live one — so end-to-end throughput is ~the
+    # average occupancy, and a factor-2 ladder (working set always above half
+    # its stage's lane count) beats the original b/2, b/8, b/32 (+3% measured).
+    # Non-cluster scenes keep the shorter ladder: their bounce is ~9 ns/lane
+    # (Cornell ~87% occupancy already) and each extra stage is another unrolled
+    # while_loop body for the compiler. Both end with threshold 0.
+    if sd.has_tri_clusters or sd.has_tri_clusters_hbm:
+        thresholds = [b >> s for s in range(1, 8) if (b >> s) >= 2048] + [0]
+    else:
+        thresholds = [t for t in (b // 2, b // 8, b // 32) if t >= 4096] + [0]
     bank = jnp.zeros((b, 3), REAL)
     for thr in thresholds:
         if thr:
