@@ -150,20 +150,50 @@ def pack_clusters(tri_v0, tri_e1, tri_e2, clusters, tri_n0=None, tri_n1=None,
     return cl_box, pk, pk2, sc_box
 
 
-def _tri_cluster_kernel(tmin_ref, sc_ref, cl_ref, pk_ref, pk2_ref, ox, oy, oz, dx, dy, dz,
+RECULL_CHUNK = 8  # queued clusters per best-t re-cull (phase 3 chunking)
+
+
+def _tri_cluster_kernel(tmin_ref, sc_ref, cl_ref, pk_ref, pk2_ref,
+                        ox, oy, oz, dx, dy, dz,
                         tin, t_out, id_out, nx_out, ny_out, nz_out, uu_out, vv_out, mat_out,
-                        vword, squeue, vsc, scqueue, *, n_cl_blocks, n_sc_blocks):
+                        vword, squeue, vsc, scqueue, vsckey, *, n_cl_blocks, n_sc_blocks,
+                        pad_cluster, sort_sc):
     """Branch-free phases per 128-ray row (measured: per-cluster lax.cond +
     scalar readback cost ~65 cycles each and dominated v1 — see BASELINE.md):
 
-    0. supercull (vector): slab-test superclusters (64 clusters each), compact
-       the hit ones into an SMEM queue — coherent rows keep 1-2 of them;
+    0. supercull (vector): slab-test superclusters (64 clusters each), record
+       each one's nearest-lane entry distance, and compact the hit ones into an
+       SMEM queue — coherent rows keep 1-2 of them. When sort_sc is set (static;
+       scenes with <= 8 superclusters) the queue is insertion-sorted by entry
+       distance, so the nearest geometry is intersected FIRST and the phase-3
+       best-t re-cull can skip the far superclusters' chunks wholesale — the
+       packet-kernel analog of ordered BVH traversal (bvh.rs:124-163 visits the
+       near child first implicitly via t-interval shrinking);
     1. cull (vector): for hit superclusters only, slab-test 8 clusters at a
        time; pack the 8 any-lane-hit bits into one word in VMEM scratch;
     2. compact (scalar, branchless): squeue[qn] = cluster; qn += bit — a queue
        of hit clusters with zero branches;
-    3. intersect (vector): fori over the qn queued clusters, unconditionally —
-       every iteration is real work.
+    3. intersect (vector): chunked fori over the queued clusters. Phase 1's
+       cull ran against the *seed* best-t; as triangles land, the carry's
+       best-t tightens, so before each chunk of RECULL_CHUNK clusters their
+       AABBs are re-slab-tested against the current per-lane best-t and the
+       whole chunk is lax.cond-skipped when no lane can improve (exact: a
+       triangle hit inside a box has t >= the box entry distance, so
+       entry > best_t on every lane means no candidate passes t < best_t).
+       Chunking amortizes the cond (~65 cycles, which sank the round-2
+       per-cluster variant: 10.8 -> 9.5M) over 8 clusters of real work.
+
+    Tie semantics: with sort_sc, clusters are tested in near-supercluster-first
+    order, so an EXACT t tie between triangles in different superclusters can
+    resolve to a different winner than the dense sweep's lowest-id rule. Exact
+    f32 ties across distinct triangles only occur for rays through shared
+    edges — measure-zero for sampled paths.
+
+    A half-cluster variant (cull and queue 32-triangle halves with tighter
+    AABBs, two static-slot queues) was built and REJECTED this round: 9.66M vs
+    11.72M worst-case — DFS slot halves are not tight enough, so queue entries
+    nearly doubled while per-entry fixed costs (block load, cond, loop step)
+    doubled outright.
     """
     tmin = tmin_ref[0]
     kbit = 1 << jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, 1), 0)  # 2^k column
@@ -180,11 +210,10 @@ def _tri_cluster_kernel(tmin_ref, sc_ref, cl_ref, pk_ref, pk2_ref, ox, oy, oz, d
         inv_z = 1.0 / jnp.where(jnp.abs(d_z) < 1e-20, jnp.where(d_z < 0, -1e-20, 1e-20), d_z)
         t_seed = tin[rr : rr + 1, :]
 
-        def slab_word(box_ref, blk, o_x=o_x, o_y=o_y, o_z=o_z,
-                      inv_x=inv_x, inv_y=inv_y, inv_z=inv_z, t_seed=t_seed):
-            """Slab-test 8 boxes of `box_ref` at block `blk` -> (1,1) bit word."""
-            bx = box_ref[pl.ds(blk * 8, 8), :]  # (8 boxes, 8 fields)
-            t1x = (bx[:, 0:1] - o_x) * inv_x  # (8,128)
+        def slab_tn_tf(bx, t_lim, o_x=o_x, o_y=o_y, o_z=o_z,
+                       inv_x=inv_x, inv_y=inv_y, inv_z=inv_z):
+            """Slab intervals of (N,8) boxes vs this row's rays -> tn, tf (N,128)."""
+            t1x = (bx[:, 0:1] - o_x) * inv_x
             t2x = (bx[:, 3:4] - o_x) * inv_x
             t1y = (bx[:, 1:2] - o_y) * inv_y
             t2y = (bx[:, 4:5] - o_y) * inv_y
@@ -196,14 +225,29 @@ def _tri_cluster_kernel(tmin_ref, sc_ref, cl_ref, pk_ref, pk2_ref, ox, oy, oz, d
             )
             tf = jnp.minimum(
                 jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-                jnp.minimum(jnp.maximum(t1z, t2z), t_seed),
+                jnp.minimum(jnp.maximum(t1z, t2z), t_lim),
             )
+            return tn, tf
+
+        def slab_word(box_ref, blk, t_seed=t_seed):
+            """Slab-test 8 boxes of `box_ref` at block `blk` -> (1,1) bit word."""
+            bx = box_ref[pl.ds(blk * 8, 8), :]  # (8 boxes, 8 fields)
+            tn, tf = slab_tn_tf(bx, t_seed)
             hit = jnp.any(tn <= tf, axis=1, keepdims=True)  # (8,1)
             return jnp.sum(jnp.where(hit, kbit, 0), axis=0, keepdims=True)  # (1,1)
 
-        # ---- phase 0: supercluster cull + compaction ----
+        # ---- phase 0: supercluster cull (+ per-box nearest entry distance) ----
         def sc_cull(scb, _):
-            vsc[pl.ds(scb, 1), 0:1] = slab_word(sc_ref, scb)
+            bx = sc_ref[pl.ds(scb * 8, 8), :]
+            tn, tf = slab_tn_tf(bx, t_seed)
+            hit = tn <= tf  # (8,128)
+            anyhit = jnp.any(hit, axis=1, keepdims=True)  # (8,1)
+            vsc[pl.ds(scb, 1), 0:1] = jnp.sum(
+                jnp.where(anyhit, kbit, 0), axis=0, keepdims=True
+            )
+            if sort_sc:
+                key = jnp.min(jnp.where(hit, tn, BIG), axis=1, keepdims=True)  # (8,1)
+                vsckey[pl.ds(scb * 8, 8), 0:1] = key
             return 0
 
         lax.fori_loop(0, n_sc_blocks, sc_cull, 0)
@@ -216,6 +260,26 @@ def _tri_cluster_kernel(tmin_ref, sc_ref, cl_ref, pk_ref, pk2_ref, ox, oy, oz, d
             return sqn
 
         sqn = lax.fori_loop(0, n_sc_blocks, sc_compact, jnp.int32(0))
+
+        if sort_sc:
+            # insertion-sort the <=8-entry supercluster queue by entry distance
+            # (scalar SMEM shuffles; tiny next to one cluster of phase-3 work)
+            def ins_body(i, _):
+                ci = scqueue[i]
+                ki = vsckey[ci, 0]
+
+                def shift_cond(j):
+                    return (j > 0) & (vsckey[scqueue[j - 1], 0] > ki)
+
+                def shift_body(j):
+                    scqueue[j] = scqueue[j - 1]
+                    return j - 1
+
+                j = lax.while_loop(shift_cond, shift_body, i)
+                scqueue[j] = ci
+                return 0
+
+            lax.fori_loop(1, sqn, ins_body, 0)
 
         # ---- phase 1: cull the hit superclusters' cluster blocks ----
         def cull_body(i, _):
@@ -240,17 +304,18 @@ def _tri_cluster_kernel(tmin_ref, sc_ref, cl_ref, pk_ref, pk2_ref, ox, oy, oz, d
 
         qn = lax.fori_loop(0, sqn, compact_body, jnp.int32(0))
 
-        # ---- phase 3: Möller–Trumbore over queued clusters, unconditional.
+        # pad the last partial chunk so rechecks read valid cluster ids (the
+        # pad cluster's point AABB at +1e30 can never pass a slab test)
+        for j in range(RECULL_CHUNK):
+            squeue[qn + j] = pad_cluster
+
+        # ---- phase 3: Möller–Trumbore over queued clusters, chunk-gated.
         # Shading attributes (normals, UVs, material) are interpolated HERE, at
         # candidate level, and carried through the same select-chain as t/id —
         # this replaces the render loop's per-lane XLA gathers over the 16k-row
         # attribute tables (hit_info/mesh.rs:84-101 semantics, measured ~us/lane
         # on TPU; the select-chain costs ~2x the bare intersection and is the
         # difference between 0.5M and multi-M rays/s on mesh scenes).
-        # NOTE: re-testing each queued cluster's AABB against the row's updated
-        # best_t (one lax.cond per cluster) was measured and REJECTED: 9.5 vs
-        # 10.8 M rays/s — the phase-B gate below already captures the win and
-        # SAH DFS order is not front-to-back enough to amortize the extra cond.
         def tri_body(i, carry, o_x=o_x, o_y=o_y, o_z=o_z, d_x=d_x, d_y=d_y, d_z=d_z):
             c = squeue[i]
             best = carry  # (t, id, nx, ny, nz, uu, vv, matf), each (1,128)
@@ -349,10 +414,26 @@ def _tri_cluster_kernel(tmin_ref, sc_ref, cl_ref, pk_ref, pk2_ref, ox, oy, oz, d
 
             return lax.cond(jnp.any(cand_id < BIG_IDF), phase_b, lambda b: b, best)
 
+        def chunk_body(ci, best):
+            lo = ci * RECULL_CHUNK
+            # gather the chunk's 8 cluster AABBs and slab-test them against the
+            # carry's current best-t (tighter than phase 1's seed)
+            bx = jnp.concatenate(
+                [cl_ref[pl.ds(squeue[lo + j], 1), :] for j in range(RECULL_CHUNK)],
+                axis=0,
+            )  # (8, 8)
+            tn, tf = slab_tn_tf(bx, best[0])
+
+            def run(b):
+                return lax.fori_loop(lo, jnp.minimum(lo + RECULL_CHUNK, qn), tri_body, b)
+
+            return lax.cond(jnp.any(tn <= tf), run, lambda b: b, best)
+
         zrow = jnp.zeros((1, LANES), jnp.float32)
         init = (t_seed, jnp.full((1, LANES), BIG_IDF, jnp.float32),
                 zrow, zrow, zrow, zrow, zrow, zrow)
-        best = lax.fori_loop(0, qn, tri_body, init)
+        n_chunks = (qn + RECULL_CHUNK - 1) // RECULL_CHUNK
+        best = lax.fori_loop(0, n_chunks, chunk_body, init)
         # report BIG where no triangle beat the seed (caller min-selects kinds)
         found = best[1] < BIG_IDF
         t_out[rr : rr + 1, :] = jnp.where(found, best[0], BIG)
@@ -365,6 +446,7 @@ def _tri_cluster_kernel(tmin_ref, sc_ref, cl_ref, pk_ref, pk2_ref, ox, oy, oz, d
         mat_out[rr : rr + 1, :] = jnp.where(
             best[7] >= HAS_UV_FLAG, best[7] - HAS_UV_FLAG, best[7]
         ).astype(jnp.int32)
+
 
 
 # HBM-resident variant (VERDICT round-2 item 5): SMEM cluster-queue capacity
@@ -666,9 +748,7 @@ def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None):
     f32_out = jax.ShapeDtypeStruct((bp // LANES, LANES), jnp.float32)
     i32_out = jax.ShapeDtypeStruct((bp // LANES, LANES), jnp.int32)
 
-    scratch = [
-        pltpu.VMEM((max(8, n_cl_blocks), LANES), jnp.int32),  # packed cull words
-        pltpu.SMEM((max(64, n_cl_blocks * 8 + 8),), jnp.int32),  # cluster queue
+    scratch_sc = [
         pltpu.VMEM((max(8, n_sc_blocks), LANES), jnp.int32),  # supercull words
         pltpu.SMEM((max(64, n_sc_blocks * 8 + 8),), jnp.int32),  # super queue
     ]
@@ -678,23 +758,40 @@ def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None):
             n_sc_blocks=n_sc_blocks, pad_cluster=sd.tri_cl.shape[0] - 1,
         )
         pk_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
-        scratch = scratch + [
+        scratch = [
+            pltpu.VMEM((max(8, n_cl_blocks), LANES), jnp.int32),  # packed cull words
+            pltpu.SMEM((max(64, n_cl_blocks * 8 + 8),), jnp.int32),  # cluster queue
+            *scratch_sc,
             pltpu.VMEM((32, LANES), jnp.float32),  # 2 slots x (pk 8 + pk2 8) rows
             pltpu.SemaphoreType.DMA((2, 2)),  # [slot, pk/pk2]
         ]
+        box_args = (sd.tri_scl, sd.tri_cl)
+        box_specs = [full_spec, full_spec]
     else:
         kernel = partial(
-            _tri_cluster_kernel, n_cl_blocks=n_cl_blocks, n_sc_blocks=n_sc_blocks
+            _tri_cluster_kernel, n_cl_blocks=n_cl_blocks, n_sc_blocks=n_sc_blocks,
+            pad_cluster=sd.tri_cl.shape[0] - 1,
+            # front-to-back supercluster ordering: statically enabled for
+            # single-sc-block scenes (<= 8 superclusters), where the scalar
+            # insertion sort is trivially cheap; larger scenes keep DFS order
+            sort_sc=(n_sc_blocks == 1),
         )
         pk_spec = full_spec
+        scratch = [
+            pltpu.VMEM((max(8, n_cl_blocks), LANES), jnp.int32),  # packed cull words
+            pltpu.SMEM((max(64, n_cl_blocks * 8 + 8),), jnp.int32),  # cluster queue
+            *scratch_sc,
+            pltpu.VMEM((max(8, n_sc_blocks * 8), LANES), jnp.float32),  # sc entry keys
+        ]
+        box_args = (sd.tri_scl, sd.tri_cl)
+        box_specs = [full_spec, full_spec]
 
     t2, id2, nx, ny, nz, uu, vv, mat = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            full_spec,  # supercluster AABBs
-            full_spec,  # cluster AABBs
+            *box_specs,  # supercluster / cluster (/ half-cluster) AABBs
             pk_spec,  # packed triangle geometry blocks
             pk_spec,  # packed shading attribute blocks
             *([ray_spec] * 7),
@@ -703,7 +800,7 @@ def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None):
         out_shape=[f32_out, i32_out, f32_out, f32_out, f32_out, f32_out, f32_out, i32_out],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(jnp.asarray(tmin, jnp.float32).reshape(1), sd.tri_scl, sd.tri_cl, sd.tri_pk,
+    )(jnp.asarray(tmin, jnp.float32).reshape(1), *box_args, sd.tri_pk,
       sd.tri_pk2, *planes)
 
     def unplane(x):

@@ -26,8 +26,17 @@ branch out entirely.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 from jax import lax
+
+# Occupancy instrumentation (debug only): TPUPT_OCC=1 adds a lane-iteration
+# counter to the streamed wavefront state and a third return value, so
+# tools/probe_occupancy.py can report rays/lane-iterations = live fraction.
+# Off by default — the state pytree (and thus every compiled graph) is
+# unchanged unless the env var is set before import.
+_OCC = os.environ.get("TPUPT_OCC", "") == "1"
 
 from ..core import linalg as la
 from ..core import rng
@@ -251,6 +260,8 @@ def trace_film_streamed(
         alive=jnp.zeros((b,), bool),
         rays=jnp.uint32(0),
     )
+    if _OCC:
+        state["li"] = jnp.uint32(0)
 
     def work_mask(s):
         return s["alive"] | (
@@ -268,13 +279,23 @@ def trace_film_streamed(
     # compaction schedule. Cluster scenes (round 3): instrumentation showed the
     # packet kernel's per-iteration cost is nearly flat in occupancy — a dead
     # lane costs ~as much as a live one — so end-to-end throughput is ~the
-    # average occupancy, and a factor-2 ladder (working set always above half
-    # its stage's lane count) beats the original b/2, b/8, b/32 (+3% measured).
-    # Non-cluster scenes keep the shorter ladder: their bounce is ~9 ns/lane
-    # (Cornell ~87% occupancy already) and each extra stage is another unrolled
-    # while_loop body for the compiler. Both end with threshold 0.
+    # average occupancy. A factor-2 ladder measured 0.765 occupancy on scene 6
+    # (tools/probe_occupancy.py: stage occupancy decays 1.0 -> 0.5 before the
+    # next compaction); the sqrt(2) ladder keeps every stage above ~0.71 for an
+    # expected ~0.84 average. Each stage is another while_loop instance of the
+    # bounce body for the compiler (one-time compile cost per config, cached).
+    # Non-cluster scenes keep the short ladder: their bounce is ~9 ns/lane
+    # (Cornell ~87% occupancy already). Both end with threshold 0.
     if sd.has_tri_clusters or sd.has_tri_clusters_hbm:
-        thresholds = [b >> s for s in range(1, 8) if (b >> s) >= 2048] + [0]
+        thresholds = []
+        t = b
+        while True:
+            t = int(t / 1.4142135624) & ~1023  # lane counts in whole kernel rows
+            if t < 2048:
+                break
+            if not thresholds or t < thresholds[-1]:
+                thresholds.append(t)
+        thresholds.append(0)
     else:
         thresholds = [t for t in (b // 2, b // 8, b // 32) if t >= 4096] + [0]
     bank = jnp.zeros((b, 3), REAL)
@@ -290,14 +311,14 @@ def trace_film_streamed(
         if thr:
             keep = jnp.argsort(~work_mask(state), stable=True)[:thr]
             bank = bank.at[state["lane"]].add(state["film"])
-            rays = state["rays"]
             state = {
-                key: (val if key == "rays" else jnp.take(val, keep, axis=0))
+                key: (val if jnp.ndim(val) == 0 else jnp.take(val, keep, axis=0))
                 for key, val in state.items()
             }
             state["film"] = jnp.zeros((thr, 3), REAL)
-            state["rays"] = rays
     bank = bank.at[state["lane"]].add(state["film"])
+    if _OCC:
+        return bank, state["rays"], state["li"]
     return bank, state["rays"]
 
 
@@ -358,7 +379,9 @@ def _make_stream_body(sd, cam, spp_limit, seed, k, max_depth, has_lights, sort_r
         died = alive & ~alive_h
         film = film + jnp.where(died[..., None], L, 0.0)
 
+        extra = {"li": s["li"] + jnp.uint32(alive.shape[0])} if _OCC else {}
         return dict(
+            **extra,
             pix=s["pix"],
             row=s["row"],
             col=s["col"],
