@@ -100,6 +100,8 @@ import numpy as np
 import jax
 jax.config.update("jax_compilation_cache_dir", r"%(repo)s/.jax_cache")
 assert jax.default_backend() == "tpu", jax.default_backend()
+jax.devices()  # raises if no backend is reachable
+print("TPU_PRESENT", flush=True)  # sentinel: failures past this point are REAL
 from tpupt.render.renderer import render_image
 from tpupt.scenes import SCENES
 sid = int(sys.argv[1])
@@ -130,9 +132,15 @@ def test_tpu_cpu_cross_backend_parity(sid, tmp_path):
         [sys.executable, "-c", _TPU_RENDER % dict(repo=repo), str(sid), out],
         env=env, cwd=repo, capture_output=True, text=True, timeout=1500,
     )
-    if r.returncode != 0 and ("tpu" in r.stderr.lower() or "backend" in r.stderr.lower()):
+    # Skip ONLY when the TPU backend never came up (the TPU_PRESENT sentinel
+    # never printed). A failure AFTER the sentinel — e.g. a Mosaic kernel
+    # `ABORTED: TPU backend error` — is a real kernel fault and MUST fail the
+    # suite. (Round-3 postmortem: the old check skipped on any "tpu"/"backend"
+    # substring in stderr and masked a genuinely broken kernel as "no TPU",
+    # which is how a faulting rewrite shipped with a 123-green suite.)
+    if r.returncode != 0 and "TPU_PRESENT" not in r.stdout:
         pytest.skip(f"no TPU attached: {r.stderr[-200:]}")
-    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.returncode == 0, f"TPU render failed AFTER backend init:\n{r.stderr[-2000:]}"
     tpu = np.load(out)
 
     from tpupt.render.renderer import render_image

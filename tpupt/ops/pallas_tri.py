@@ -28,6 +28,7 @@ its 128 rays' clusters — the SAH cut (not Morton) is what keeps that union sma
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -153,44 +154,97 @@ def pack_clusters(tri_v0, tri_e1, tri_e2, clusters, tri_n0=None, tri_n1=None,
 RECULL_CHUNK = 8  # queued clusters per best-t re-cull (phase 3 chunking)
 
 
-def _tri_cluster_kernel(tmin_ref, sc_ref, cl_ref, pk_ref, pk2_ref,
+def _supercull_order(scl, ox, oy, oz, dx, dy, dz, tin, tmin, sort):
+    """Phase 0, hoisted OUT of the kernel into plain XLA (round-4 redesign).
+
+    For every 128-lane kernel row, slab-test all superclusters against the
+    row's rays and return the visit queue the kernel should walk:
+
+      order  (R, S) int32 — hit superclusters first; when `sort` they are
+             front-to-back by nearest-lane entry distance (the packet-kernel
+             analog of ordered BVH traversal, bvh.rs:124-163 — the recursive
+             walk shrinks its t-interval as it descends, so near geometry is
+             intersected first and far boxes fail the interval test);
+      counts (R, 1) int32 — number of hit superclusters in the row.
+
+    Round-3 history: ordering was first attempted as an in-kernel scalar
+    insertion sort over SMEM queue entries keyed by dynamic scalar reads of a
+    VMEM key array inside a lax.while_loop. Interpret mode accepted it; REAL
+    Mosaic faulted (`ABORTED: TPU backend error`, deterministic on scene 6) and
+    the fault wedged the whole bench process. Hoisting phase 0 to XLA is the
+    structural fix: the sort is a trivially-vectorized argsort over (R, S)
+    keys, the kernel never touches float keys or while_loops, AND the per-row
+    fixed cost of phase 0 (which ran per row regardless of queue length)
+    leaves the kernel entirely.
+
+    Inputs are the kernel's own plane layout ((R, 128) f32) and the exact slab
+    arithmetic the in-kernel phase 0 used — identical IEEE f32 ops, so the
+    cull/no-cull decisions match the old kernel bit-for-bit. Pad lanes carry
+    t_in = 0 < tmin and can never register a hit.
+    """
+    def inv(dc):
+        return 1.0 / jnp.where(jnp.abs(dc) < 1e-20, jnp.where(dc < 0, -1e-20, 1e-20), dc)
+
+    ix, iy, iz = inv(dx), inv(dy), inv(dz)
+
+    def slab(lo, hi, o, i):
+        t1 = (lo[None, :, None] - o[:, None, :]) * i[:, None, :]
+        t2 = (hi[None, :, None] - o[:, None, :]) * i[:, None, :]
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    n1, f1 = slab(scl[:, 0], scl[:, 3], ox, ix)
+    n2, f2 = slab(scl[:, 1], scl[:, 4], oy, iy)
+    n3, f3 = slab(scl[:, 2], scl[:, 5], oz, iz)
+    tn = jnp.maximum(jnp.maximum(n1, n2), jnp.maximum(n3, tmin))
+    tf = jnp.minimum(jnp.minimum(f1, f2), jnp.minimum(f3, tin[:, None, :]))
+    hit = tn <= tf  # (R, S, 128)
+    anyhit = jnp.any(hit, axis=2)  # (R, S)
+    if sort:
+        key = jnp.min(jnp.where(hit, tn, BIG), axis=2)  # nearest-lane entry
+    else:
+        key = jnp.broadcast_to(
+            jnp.arange(scl.shape[0], dtype=jnp.float32)[None, :], anyhit.shape
+        )  # index order (matches the old in-kernel compaction exactly)
+    key = jnp.where(anyhit, key, jnp.inf)
+    order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
+    counts = jnp.sum(anyhit, axis=1, dtype=jnp.int32)[:, None]
+    return order, counts
+
+
+def _tri_cluster_kernel(tmin_ref, scq_ref, scn_ref, cl_ref, pk_ref, pk2_ref,
                         ox, oy, oz, dx, dy, dz,
                         tin, t_out, id_out, nx_out, ny_out, nz_out, uu_out, vv_out, mat_out,
-                        vword, squeue, vsc, scqueue, vsckey, *, n_cl_blocks, n_sc_blocks,
-                        pad_cluster, sort_sc):
+                        vword, squeue, *, n_cl_blocks, pad_cluster, recull):
     """Branch-free phases per 128-ray row (measured: per-cluster lax.cond +
     scalar readback cost ~65 cycles each and dominated v1 — see BASELINE.md):
 
-    0. supercull (vector): slab-test superclusters (64 clusters each), record
-       each one's nearest-lane entry distance, and compact the hit ones into an
-       SMEM queue — coherent rows keep 1-2 of them. When sort_sc is set (static;
-       scenes with <= 8 superclusters) the queue is insertion-sorted by entry
-       distance, so the nearest geometry is intersected FIRST and the phase-3
-       best-t re-cull can skip the far superclusters' chunks wholesale — the
-       packet-kernel analog of ordered BVH traversal (bvh.rs:124-163 visits the
-       near child first implicitly via t-interval shrinking);
+    0. supercull — hoisted to XLA (see _supercull_order): the kernel receives
+       each row's supercluster visit queue (scq_ref, front-to-back when the
+       caller sorted it) and hit count (scn_ref) as blocked SMEM inputs;
     1. cull (vector): for hit superclusters only, slab-test 8 clusters at a
        time; pack the 8 any-lane-hit bits into one word in VMEM scratch;
     2. compact (scalar, branchless): squeue[qn] = cluster; qn += bit — a queue
        of hit clusters with zero branches;
-    3. intersect (vector): chunked fori over the queued clusters. Phase 1's
-       cull ran against the *seed* best-t; as triangles land, the carry's
-       best-t tightens, so before each chunk of RECULL_CHUNK clusters their
-       AABBs are re-slab-tested against the current per-lane best-t and the
-       whole chunk is lax.cond-skipped when no lane can improve (exact: a
-       triangle hit inside a box has t >= the box entry distance, so
-       entry > best_t on every lane means no candidate passes t < best_t).
-       Chunking amortizes the cond (~65 cycles, which sank the round-2
-       per-cluster variant: 10.8 -> 9.5M) over 8 clusters of real work.
+    3. intersect (vector): fori over the queued clusters. With `recull`, the
+       loop is chunked: phase 1's cull ran against the *seed* best-t; as
+       triangles land, the carry's best-t tightens, so before each chunk of
+       RECULL_CHUNK clusters their AABBs are re-slab-tested against the current
+       per-lane best-t and the whole chunk is lax.cond-skipped when no lane can
+       improve (conservative up to f32 rounding: a triangle hit inside a box
+       has t >= the box entry distance). Chunking amortizes the cond (~65
+       cycles, which sank the round-2 per-cluster variant: 10.8 -> 9.5M) over
+       8 clusters of real work. Re-culling only pays when the queue is in
+       front-to-back order — near superclusters first means best_t tightens
+       early and far chunks die; in plain DFS order it measured -7% (round 3).
 
-    Tie semantics: with sort_sc, clusters are tested in near-supercluster-first
+    Tie semantics: with sorting, clusters are tested in near-supercluster-first
     order, so an EXACT t tie between triangles in different superclusters can
     resolve to a different winner than the dense sweep's lowest-id rule. Exact
     f32 ties across distinct triangles only occur for rays through shared
     edges — measure-zero for sampled paths.
 
     A half-cluster variant (cull and queue 32-triangle halves with tighter
-    AABBs, two static-slot queues) was built and REJECTED this round: 9.66M vs
+    AABBs, two static-slot queues) was built and REJECTED in round 3: 9.66M vs
     11.72M worst-case — DFS slot halves are not tight enough, so queue entries
     nearly doubled while per-entry fixed costs (block load, cond, loop step)
     doubled outright.
@@ -236,54 +290,12 @@ def _tri_cluster_kernel(tmin_ref, sc_ref, cl_ref, pk_ref, pk2_ref,
             hit = jnp.any(tn <= tf, axis=1, keepdims=True)  # (8,1)
             return jnp.sum(jnp.where(hit, kbit, 0), axis=0, keepdims=True)  # (1,1)
 
-        # ---- phase 0: supercluster cull (+ per-box nearest entry distance) ----
-        def sc_cull(scb, _):
-            bx = sc_ref[pl.ds(scb * 8, 8), :]
-            tn, tf = slab_tn_tf(bx, t_seed)
-            hit = tn <= tf  # (8,128)
-            anyhit = jnp.any(hit, axis=1, keepdims=True)  # (8,1)
-            vsc[pl.ds(scb, 1), 0:1] = jnp.sum(
-                jnp.where(anyhit, kbit, 0), axis=0, keepdims=True
-            )
-            if sort_sc:
-                key = jnp.min(jnp.where(hit, tn, BIG), axis=1, keepdims=True)  # (8,1)
-                vsckey[pl.ds(scb * 8, 8), 0:1] = key
-            return 0
-
-        lax.fori_loop(0, n_sc_blocks, sc_cull, 0)
-
-        def sc_compact(scb, sqn):
-            word = vsc[scb, 0]
-            for k in range(8):
-                scqueue[sqn] = scb * 8 + k
-                sqn = sqn + ((word >> k) & 1)
-            return sqn
-
-        sqn = lax.fori_loop(0, n_sc_blocks, sc_compact, jnp.int32(0))
-
-        if sort_sc:
-            # insertion-sort the <=8-entry supercluster queue by entry distance
-            # (scalar SMEM shuffles; tiny next to one cluster of phase-3 work)
-            def ins_body(i, _):
-                ci = scqueue[i]
-                ki = vsckey[ci, 0]
-
-                def shift_cond(j):
-                    return (j > 0) & (vsckey[scqueue[j - 1], 0] > ki)
-
-                def shift_body(j):
-                    scqueue[j] = scqueue[j - 1]
-                    return j - 1
-
-                j = lax.while_loop(shift_cond, shift_body, i)
-                scqueue[j] = ci
-                return 0
-
-            lax.fori_loop(1, sqn, ins_body, 0)
+        # ---- phase 0 ran in XLA (_supercull_order); read this row's queue ----
+        sqn = scn_ref[rr, 0]
 
         # ---- phase 1: cull the hit superclusters' cluster blocks ----
         def cull_body(i, _):
-            s = scqueue[i]  # supercluster -> cluster blocks [s*8, s*8+8)
+            s = scq_ref[rr, i]  # supercluster -> cluster blocks [s*8, s*8+8)
             for j in range(8):
                 cb = s * 8 + j
                 vword[pl.ds(cb, 1), 0:1] = slab_word(cl_ref, cb)
@@ -293,7 +305,7 @@ def _tri_cluster_kernel(tmin_ref, sc_ref, cl_ref, pk_ref, pk2_ref,
 
         # ---- phase 2: branchless compaction into the SMEM cluster queue ----
         def compact_body(i, qn):
-            s = scqueue[i]
+            s = scq_ref[rr, i]
             for j in range(8):
                 cb = s * 8 + j
                 word = vword[cb, 0]
@@ -304,10 +316,13 @@ def _tri_cluster_kernel(tmin_ref, sc_ref, cl_ref, pk_ref, pk2_ref,
 
         qn = lax.fori_loop(0, sqn, compact_body, jnp.int32(0))
 
-        # pad the last partial chunk so rechecks read valid cluster ids (the
-        # pad cluster's point AABB at +1e30 can never pass a slab test)
-        for j in range(RECULL_CHUNK):
-            squeue[qn + j] = pad_cluster
+        if recull:
+            # pad the last partial chunk so rechecks read valid cluster ids
+            # (pad triangles are degenerate and the fori below is bounded by
+            # qn, so pad entries are never intersected; their boxes at +1e30
+            # keep chunk gates conservative)
+            for j in range(RECULL_CHUNK):
+                squeue[qn + j] = pad_cluster
 
         # ---- phase 3: Möller–Trumbore over queued clusters, chunk-gated.
         # Shading attributes (normals, UVs, material) are interpolated HERE, at
@@ -432,8 +447,11 @@ def _tri_cluster_kernel(tmin_ref, sc_ref, cl_ref, pk_ref, pk2_ref,
         zrow = jnp.zeros((1, LANES), jnp.float32)
         init = (t_seed, jnp.full((1, LANES), BIG_IDF, jnp.float32),
                 zrow, zrow, zrow, zrow, zrow, zrow)
-        n_chunks = (qn + RECULL_CHUNK - 1) // RECULL_CHUNK
-        best = lax.fori_loop(0, n_chunks, chunk_body, init)
+        if recull:
+            n_chunks = (qn + RECULL_CHUNK - 1) // RECULL_CHUNK
+            best = lax.fori_loop(0, n_chunks, chunk_body, init)
+        else:
+            best = lax.fori_loop(0, qn, tri_body, init)
         # report BIG where no triangle beat the seed (caller min-selects kinds)
         found = best[1] < BIG_IDF
         t_out[rr : rr + 1, :] = jnp.where(found, best[0], BIG)
@@ -456,15 +474,16 @@ MAX_HBM_CLUSTERS = 8192
 
 
 def _tri_cluster_kernel_hbm(
-    tmin_ref, sc_ref, cl_ref, pk_hbm, pk2_hbm, ox, oy, oz, dx, dy, dz,
+    tmin_ref, scq_ref, scn_ref, cl_ref, pk_hbm, pk2_hbm, ox, oy, oz, dx, dy, dz,
     tin, t_out, id_out, nx_out, ny_out, nz_out, uu_out, vv_out, mat_out,
-    vword, squeue, vsc, scqueue, dbuf, dsem, *, n_cl_blocks, n_sc_blocks,
-    pad_cluster,
+    vword, squeue, dbuf, dsem, *, n_cl_blocks, pad_cluster,
 ):
     """The cluster packet kernel with pk/pk2 resident in HBM.
 
     Same phases as _tri_cluster_kernel (cluster/supercluster AABBs stay VMEM-
-    resident — 32 B/cluster, tiny at any scene size); what changes is phase 3:
+    resident — 32 B/cluster, tiny at any scene size; phase 0 runs in XLA via
+    _supercull_order, so front-to-back ordering works at ANY supercluster
+    count); what changes is phase 3:
     each queued cluster's geometry (8,128) AND shading (8,128) blocks are
     staged through a double-buffered VMEM scratch by async DMA, with the next
     cluster's copy in flight while the current one is intersected. Clusters are
@@ -511,24 +530,12 @@ def _tri_cluster_kernel_hbm(
             hit = jnp.any(tn <= tf, axis=1, keepdims=True)
             return jnp.sum(jnp.where(hit, kbit, 0), axis=0, keepdims=True)
 
-        # ---- phases 0-2: identical cull/compact structure to the VMEM kernel ----
-        def sc_cull(scb, _):
-            vsc[pl.ds(scb, 1), 0:1] = slab_word(sc_ref, scb)
-            return 0
-
-        lax.fori_loop(0, n_sc_blocks, sc_cull, 0)
-
-        def sc_compact(scb, sqn):
-            word = vsc[scb, 0]
-            for k in range(8):
-                scqueue[sqn] = scb * 8 + k
-                sqn = sqn + ((word >> k) & 1)
-            return sqn
-
-        sqn = lax.fori_loop(0, n_sc_blocks, sc_compact, jnp.int32(0))
+        # ---- phases 1-2: identical cull/compact structure to the VMEM kernel
+        # (phase 0 ran in XLA; this row's queue arrives in scq_ref/scn_ref) ----
+        sqn = scn_ref[rr, 0]
 
         def cull_body(i, _):
-            s = scqueue[i]
+            s = scq_ref[rr, i]
             for j in range(8):
                 cb = s * 8 + j
                 vword[pl.ds(cb, 1), 0:1] = slab_word(cl_ref, cb)
@@ -537,7 +544,7 @@ def _tri_cluster_kernel_hbm(
         lax.fori_loop(0, sqn, cull_body, 0)
 
         def compact_body(i, qn):
-            s = scqueue[i]
+            s = scq_ref[rr, i]
             for j in range(8):
                 cb = s * 8 + j
                 word = vword[cb, 0]
@@ -711,7 +718,8 @@ def _tri_cluster_kernel_hbm(
         ).astype(jnp.int32)
 
 
-def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None):
+def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None,
+                       sort=None, recull=None):
     """Closest triangle via cluster packets -> (t [B], idx [B] int32, aux dict).
 
     t_in seeds the per-lane best distance (pass the sphere/quad winner's t, or
@@ -724,6 +732,10 @@ def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None):
     hbm selects the HBM-resident kernel (packed tables stay in HBM, clusters
     DMA-staged through a double-buffered VMEM scratch); defaults to the scene
     compiler's routing (sd.has_tri_clusters_hbm).
+
+    sort / recull override the TPUPT_TRI_SORT / TPUPT_TRI_RECULL env flags
+    (both default on): front-to-back supercluster ordering (_supercull_order)
+    and the chunked best-t re-cull in phase 3 (VMEM kernel only).
     """
     if hbm is None:
         hbm = sd.has_tri_clusters_hbm and not sd.has_tri_clusters
@@ -740,58 +752,71 @@ def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None):
         plane(t_in),  # pad lanes get t_in = 0 -> no box can pass tn >= tmin > 0
     ]
     n_cl_blocks = sd.tri_cl.shape[0] // 8
-    n_sc_blocks = sd.tri_scl.shape[0] // 8
+    scp = sd.tri_scl.shape[0]
+
+    # phase 0 in XLA: per-row supercluster visit queue, front-to-back unless
+    # disabled for A/B (TPUPT_TRI_SORT=0). Flags are read at trace time.
+    # Defaults from the round-4 on-chip A/B (BASELINE.md): sorting is free
+    # (XLA-side argsort) and worth +0.6% end-to-end; the phase-3 re-cull costs
+    # 2% even WITH front-to-back ordering (chunk gates rarely fire: a 128-lane
+    # row's best-t union stays wide), so it defaults OFF.
+    if sort is None:
+        sort = os.environ.get("TPUPT_TRI_SORT", "1") == "1"
+    if recull is None:
+        recull = os.environ.get("TPUPT_TRI_RECULL", "0") == "1"
+    scq, scn = _supercull_order(
+        sd.tri_scl, *planes[:6], planes[6], jnp.float32(tmin), sort
+    )
+    # Diagnostic substitutions (probe-only; tools/probe_tri_kernel.py): isolate
+    # the kernel's cost phases on chip without kernel-code variants.
+    #   TPUPT_TRI_STUB=1  -> counts forced 0: per-row preamble+output cost only
+    #   TPUPT_TRI_NOMT=1  -> cluster AABBs pushed to +1e30: phases 1-2 run
+    #                        (cull + full scalar compact), queue stays empty
+    tri_cl = sd.tri_cl
+    if os.environ.get("TPUPT_TRI_STUB", "") == "1":
+        scn = jnp.zeros_like(scn)
+    if os.environ.get("TPUPT_TRI_NOMT", "") == "1":
+        tri_cl = jnp.full_like(tri_cl, 1e30)
 
     ray_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    scq_spec = pl.BlockSpec((SUBLANES, scp), lambda i: (i, 0), memory_space=pltpu.SMEM)
+    scn_spec = pl.BlockSpec((SUBLANES, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
     grid = (bp // BLOCK,)
     f32_out = jax.ShapeDtypeStruct((bp // LANES, LANES), jnp.float32)
     i32_out = jax.ShapeDtypeStruct((bp // LANES, LANES), jnp.int32)
 
-    scratch_sc = [
-        pltpu.VMEM((max(8, n_sc_blocks), LANES), jnp.int32),  # supercull words
-        pltpu.SMEM((max(64, n_sc_blocks * 8 + 8),), jnp.int32),  # super queue
-    ]
     if hbm:
         kernel = partial(
             _tri_cluster_kernel_hbm, n_cl_blocks=n_cl_blocks,
-            n_sc_blocks=n_sc_blocks, pad_cluster=sd.tri_cl.shape[0] - 1,
+            pad_cluster=sd.tri_cl.shape[0] - 1,
         )
         pk_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
         scratch = [
             pltpu.VMEM((max(8, n_cl_blocks), LANES), jnp.int32),  # packed cull words
             pltpu.SMEM((max(64, n_cl_blocks * 8 + 8),), jnp.int32),  # cluster queue
-            *scratch_sc,
             pltpu.VMEM((32, LANES), jnp.float32),  # 2 slots x (pk 8 + pk2 8) rows
             pltpu.SemaphoreType.DMA((2, 2)),  # [slot, pk/pk2]
         ]
-        box_args = (sd.tri_scl, sd.tri_cl)
-        box_specs = [full_spec, full_spec]
     else:
         kernel = partial(
-            _tri_cluster_kernel, n_cl_blocks=n_cl_blocks, n_sc_blocks=n_sc_blocks,
-            pad_cluster=sd.tri_cl.shape[0] - 1,
-            # front-to-back supercluster ordering: statically enabled for
-            # single-sc-block scenes (<= 8 superclusters), where the scalar
-            # insertion sort is trivially cheap; larger scenes keep DFS order
-            sort_sc=(n_sc_blocks == 1),
+            _tri_cluster_kernel, n_cl_blocks=n_cl_blocks,
+            pad_cluster=sd.tri_cl.shape[0] - 1, recull=recull,
         )
         pk_spec = full_spec
         scratch = [
             pltpu.VMEM((max(8, n_cl_blocks), LANES), jnp.int32),  # packed cull words
             pltpu.SMEM((max(64, n_cl_blocks * 8 + 8),), jnp.int32),  # cluster queue
-            *scratch_sc,
-            pltpu.VMEM((max(8, n_sc_blocks * 8), LANES), jnp.float32),  # sc entry keys
         ]
-        box_args = (sd.tri_scl, sd.tri_cl)
-        box_specs = [full_spec, full_spec]
 
     t2, id2, nx, ny, nz, uu, vv, mat = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            *box_specs,  # supercluster / cluster (/ half-cluster) AABBs
+            scq_spec,  # per-row supercluster queue (phase 0, from XLA)
+            scn_spec,  # per-row supercluster hit count
+            full_spec,  # cluster AABBs
             pk_spec,  # packed triangle geometry blocks
             pk_spec,  # packed shading attribute blocks
             *([ray_spec] * 7),
@@ -800,7 +825,7 @@ def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None):
         out_shape=[f32_out, i32_out, f32_out, f32_out, f32_out, f32_out, f32_out, i32_out],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(jnp.asarray(tmin, jnp.float32).reshape(1), *box_args, sd.tri_pk,
+    )(jnp.asarray(tmin, jnp.float32).reshape(1), scq, scn, tri_cl, sd.tri_pk,
       sd.tri_pk2, *planes)
 
     def unplane(x):

@@ -31,11 +31,11 @@ import os
 import jax.numpy as jnp
 from jax import lax
 
-# Occupancy instrumentation (debug only): TPUPT_OCC=1 adds a lane-iteration
-# counter to the streamed wavefront state and a third return value, so
-# tools/probe_occupancy.py can report rays/lane-iterations = live fraction.
-# Off by default — the state pytree (and thus every compiled graph) is
-# unchanged unless the env var is set before import.
+# Occupancy instrumentation (debug only): occ=True (default via TPUPT_OCC=1)
+# adds a lane-iteration counter to the streamed wavefront state and a THIRD
+# return value, so tools/probe_occupancy.py can report rays/lane-iterations =
+# live fraction. Production callers (renderer.py) pass occ=False explicitly, so
+# their 2-tuple arity is stable no matter the env (ADVICE round-3 item 1).
 _OCC = os.environ.get("TPUPT_OCC", "") == "1"
 
 from ..core import linalg as la
@@ -220,7 +220,8 @@ def trace_radiance(sd, cam, pixel_ids, rows, cols, sample_ids, seed, max_depth, 
 
 
 def trace_film_streamed(
-    sd, cam, pixel_ids, rows, cols, sample0, spp_limit, seed, k, max_depth, has_lights
+    sd, cam, pixel_ids, rows, cols, sample0, spp_limit, seed, k, max_depth, has_lights,
+    occ=_OCC,
 ):
     """Path-regeneration wavefront: each lane streams up to k samples of its pixel.
 
@@ -260,7 +261,7 @@ def trace_film_streamed(
         alive=jnp.zeros((b,), bool),
         rays=jnp.uint32(0),
     )
-    if _OCC:
+    if occ:
         state["li"] = jnp.uint32(0)
 
     def work_mask(s):
@@ -274,7 +275,7 @@ def trace_film_streamed(
     # more than it saved on scene 6 (4.8 -> 1.9 M rays/s) — TPU sorts/gathers
     # are the same ops that sank the per-lane BVH. Compaction below sorts only
     # at the three occupancy thresholds, where it pays for itself.
-    body = _make_stream_body(sd, cam, spp_limit, seed, k, max_depth, has_lights)
+    body = _make_stream_body(sd, cam, spp_limit, seed, k, max_depth, has_lights, occ=occ)
 
     # compaction schedule. Cluster scenes (round 3): instrumentation showed the
     # packet kernel's per-iteration cost is nearly flat in occupancy — a dead
@@ -286,7 +287,10 @@ def trace_film_streamed(
     # bounce body for the compiler (one-time compile cost per config, cached).
     # Non-cluster scenes keep the short ladder: their bounce is ~9 ns/lane
     # (Cornell ~87% occupancy already). Both end with threshold 0.
-    if sd.has_tri_clusters or sd.has_tri_clusters_hbm:
+    # TPUPT_LADDER=short forces the non-cluster schedule for on-chip A/Bs.
+    if (sd.has_tri_clusters or sd.has_tri_clusters_hbm) and (
+        os.environ.get("TPUPT_LADDER", "sqrt2") != "short"
+    ):
         thresholds = []
         t = b
         while True:
@@ -317,12 +321,13 @@ def trace_film_streamed(
             }
             state["film"] = jnp.zeros((thr, 3), REAL)
     bank = bank.at[state["lane"]].add(state["film"])
-    if _OCC:
+    if occ:
         return bank, state["rays"], state["li"]
     return bank, state["rays"]
 
 
-def _make_stream_body(sd, cam, spp_limit, seed, k, max_depth, has_lights, sort_rays=False):
+def _make_stream_body(sd, cam, spp_limit, seed, k, max_depth, has_lights, sort_rays=False,
+                      occ=False):
     """One wavefront iteration: regenerate exhausted lanes, bounce, flush films."""
     from .camera import generate_rays
 
@@ -379,7 +384,7 @@ def _make_stream_body(sd, cam, spp_limit, seed, k, max_depth, has_lights, sort_r
         died = alive & ~alive_h
         film = film + jnp.where(died[..., None], L, 0.0)
 
-        extra = {"li": s["li"] + jnp.uint32(alive.shape[0])} if _OCC else {}
+        extra = {"li": s["li"] + jnp.uint32(alive.shape[0])} if occ else {}
         return dict(
             **extra,
             pix=s["pix"],

@@ -95,7 +95,8 @@ def _chunk_film_body(
     lane_valid = jnp.tile(jnp.arange(pb, dtype=jnp.int32) < n_valid, r)
     lane_sample0 = jnp.where(lane_valid, lane_sample0, spp_limit)
     film, rays = trace_film_streamed(
-        sd, cam, pix, rows, cols, lane_sample0, spp_limit, seed, k, max_depth, has_lights
+        sd, cam, pix, rows, cols, lane_sample0, spp_limit, seed, k, max_depth, has_lights,
+        occ=False,  # stable 2-tuple arity even under TPUPT_OCC (probe-only flag)
     )
     return film.reshape(r, pb, 3).sum(axis=0), rays
 
