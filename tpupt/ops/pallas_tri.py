@@ -211,10 +211,61 @@ def _supercull_order(scl, ox, oy, oz, dx, dy, dz, tin, tmin, sort):
     return order, counts
 
 
+def _cluster_queue(cl, ox, oy, oz, dx, dy, dz, tin, tmin, sort, pad_cluster):
+    """cqx mode: the per-row CLUSTER visit queue, computed in plain XLA.
+
+    Same contract as _supercull_order but at cluster granularity, which lets
+    the kernel drop phases 1-2 entirely (round-4 decomposition measured them at
+    ~3.3 of the 10.5 us/row on worst-case rows: ~1 us of slab_word vector work
+    plus ~2 us of serial scalar compaction). The dense C-cluster cull costs
+    C x ~25 lane-ops per ray of fully-parallel XLA work, so it only pays for
+    small cluster tables — the caller gates it (CQX_MAX_CLUSTERS); bigger
+    scenes keep the hierarchical supercluster path.
+
+    Entries at positions >= the row's hit count are set to `pad_cluster` (a
+    guaranteed-degenerate cluster: +1e30 point box, zero-edge triangles, id
+    BIG_IDF) so the kernel's pair loop can over-read safely.
+    """
+    def inv(dc):
+        return 1.0 / jnp.where(jnp.abs(dc) < 1e-20, jnp.where(dc < 0, -1e-20, 1e-20), dc)
+
+    ix, iy, iz = inv(dx), inv(dy), inv(dz)
+
+    def slab(lo, hi, o, i):
+        t1 = (lo[None, :, None] - o[:, None, :]) * i[:, None, :]
+        t2 = (hi[None, :, None] - o[:, None, :]) * i[:, None, :]
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+    n1, f1 = slab(cl[:, 0], cl[:, 3], ox, ix)
+    n2, f2 = slab(cl[:, 1], cl[:, 4], oy, iy)
+    n3, f3 = slab(cl[:, 2], cl[:, 5], oz, iz)
+    tn = jnp.maximum(jnp.maximum(n1, n2), jnp.maximum(n3, tmin))
+    tf = jnp.minimum(jnp.minimum(f1, f2), jnp.minimum(f3, tin[:, None, :]))
+    hit = tn <= tf  # (R, C, 128)
+    anyhit = jnp.any(hit, axis=2)  # (R, C)
+    if sort:
+        key = jnp.min(jnp.where(hit, tn, BIG), axis=2)
+    else:
+        key = jnp.broadcast_to(
+            jnp.arange(cl.shape[0], dtype=jnp.float32)[None, :], anyhit.shape
+        )
+    key = jnp.where(anyhit, key, jnp.inf)
+    order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
+    counts = jnp.sum(anyhit, axis=1, dtype=jnp.int32)[:, None]
+    pos = jnp.arange(order.shape[1], dtype=jnp.int32)[None, :]
+    order = jnp.where(pos < counts, order, jnp.int32(pad_cluster))
+    return order, counts
+
+
+# cqx (cluster-queue-from-XLA) pays while the dense per-lane cluster cull is
+# cheaper than the in-kernel phases 1-2 it replaces; gate by table size.
+CQX_MAX_CLUSTERS = 768
+
+
 def _tri_cluster_kernel(tmin_ref, scq_ref, scn_ref, cl_ref, pk_ref, pk2_ref,
                         ox, oy, oz, dx, dy, dz,
                         tin, t_out, id_out, nx_out, ny_out, nz_out, uu_out, vv_out, mat_out,
-                        vword, squeue, *, n_cl_blocks, pad_cluster, recull):
+                        vword, squeue, *, n_cl_blocks, pad_cluster, recull, pair, cqx):
     """Branch-free phases per 128-ray row (measured: per-cluster lax.cond +
     scalar readback cost ~65 cycles each and dominated v1 — see BASELINE.md):
 
@@ -290,31 +341,43 @@ def _tri_cluster_kernel(tmin_ref, scq_ref, scn_ref, cl_ref, pk_ref, pk2_ref,
             hit = jnp.any(tn <= tf, axis=1, keepdims=True)  # (8,1)
             return jnp.sum(jnp.where(hit, kbit, 0), axis=0, keepdims=True)  # (1,1)
 
-        # ---- phase 0 ran in XLA (_supercull_order); read this row's queue ----
-        sqn = scn_ref[rr, 0]
+        if cqx:
+            # ---- cqx mode: the CLUSTER queue itself came from XLA
+            # (_cluster_queue) — phases 1-2 vanish from the kernel entirely;
+            # entries beyond the count are the degenerate pad cluster ----
+            qn = scn_ref[rr, 0]
 
-        # ---- phase 1: cull the hit superclusters' cluster blocks ----
-        def cull_body(i, _):
-            s = scq_ref[rr, i]  # supercluster -> cluster blocks [s*8, s*8+8)
-            for j in range(8):
-                cb = s * 8 + j
-                vword[pl.ds(cb, 1), 0:1] = slab_word(cl_ref, cb)
-            return 0
+            def qread(i):
+                return scq_ref[rr, i]
+        else:
+            # ---- phase 0 ran in XLA (_supercull_order); read this row's queue ----
+            sqn = scn_ref[rr, 0]
 
-        lax.fori_loop(0, sqn, cull_body, 0)
+            # ---- phase 1: cull the hit superclusters' cluster blocks ----
+            def cull_body(i, _):
+                s = scq_ref[rr, i]  # supercluster -> cluster blocks [s*8, s*8+8)
+                for j in range(8):
+                    cb = s * 8 + j
+                    vword[pl.ds(cb, 1), 0:1] = slab_word(cl_ref, cb)
+                return 0
 
-        # ---- phase 2: branchless compaction into the SMEM cluster queue ----
-        def compact_body(i, qn):
-            s = scq_ref[rr, i]
-            for j in range(8):
-                cb = s * 8 + j
-                word = vword[cb, 0]
-                for k in range(8):
-                    squeue[qn] = cb * 8 + k
-                    qn = qn + ((word >> k) & 1)
-            return qn
+            lax.fori_loop(0, sqn, cull_body, 0)
 
-        qn = lax.fori_loop(0, sqn, compact_body, jnp.int32(0))
+            # ---- phase 2: branchless compaction into the SMEM cluster queue ----
+            def compact_body(i, qn):
+                s = scq_ref[rr, i]
+                for j in range(8):
+                    cb = s * 8 + j
+                    word = vword[cb, 0]
+                    for k in range(8):
+                        squeue[qn] = cb * 8 + k
+                        qn = qn + ((word >> k) & 1)
+                return qn
+
+            qn = lax.fori_loop(0, sqn, compact_body, jnp.int32(0))
+
+            def qread(i):
+                return squeue[i]
 
         if recull:
             # pad the last partial chunk so rechecks read valid cluster ids
@@ -331,15 +394,12 @@ def _tri_cluster_kernel(tmin_ref, scq_ref, scn_ref, cl_ref, pk_ref, pk2_ref,
         # attribute tables (hit_info/mesh.rs:84-101 semantics, measured ~us/lane
         # on TPU; the select-chain costs ~2x the bare intersection and is the
         # difference between 0.5M and multi-M rays/s on mesh scenes).
-        def tri_body(i, carry, o_x=o_x, o_y=o_y, o_z=o_z, d_x=d_x, d_y=d_y, d_z=d_z):
-            c = squeue[i]
-            best = carry  # (t, id, nx, ny, nz, uu, vv, matf), each (1,128)
-            best_t = best[0]
+        def mt_cands(c, best_t, o_x=o_x, o_y=o_y, o_z=o_z, d_x=d_x, d_y=d_y, d_z=d_z):
+            """Phase A: Möller–Trumbore over the cluster's 8 slots, carrying the
+            candidate's (t, id, bary u, bary v, slot). Attributes are fetched in
+            phase B, gated per cluster, because most box-hit clusters yield no
+            triangle hit and attribute selection costs ~2x the MT test."""
             blk = pk_ref[pl.ds(c * 8, 8), :]  # (8,128): one cluster, geometry
-            # --- phase A: Möller–Trumbore over 8 slots, carrying only the
-            # candidate's (t, id, bary u, bary v, slot) — attributes are fetched
-            # in phase B, gated per cluster, because most box-hit clusters yield
-            # no triangle hit and attribute selection costs ~2x the MT test
             cand_t = jnp.full((SUBLANES, LANES), BIG, jnp.float32)
             cand_id = jnp.full((SUBLANES, LANES), BIG_IDF, jnp.float32)
             zeros = jnp.zeros((SUBLANES, LANES), jnp.float32)
@@ -386,8 +446,15 @@ def _tri_cluster_kernel(tmin_ref, scq_ref, scn_ref, cl_ref, pk_ref, pk2_ref,
                 cand_u = jnp.where(upd, u, cand_u)
                 cand_v = jnp.where(upd, v, cand_v)
                 cand_g = jnp.where(upd, float(g), cand_g)
+            return cand_t, cand_id, cand_u, cand_v, cand_g
+
+        def apply_phase_b(best, c, cands):
+            """Gated phase B: fold the cluster's best candidate (with its
+            interpolated shading attributes) into the running best."""
+            cand_t, cand_id, cand_u, cand_v, cand_g = cands
 
             def phase_b(best, blk_c=c):
+                best_t = best[0]
                 blk2 = pk2_ref[pl.ds(blk_c * 8, 8), :]  # (8,128): shading attrs
                 row_t = jnp.min(cand_t, axis=0, keepdims=True)
                 row_id = jnp.min(
@@ -429,12 +496,36 @@ def _tri_cluster_kernel(tmin_ref, scq_ref, scn_ref, cl_ref, pk_ref, pk2_ref,
 
             return lax.cond(jnp.any(cand_id < BIG_IDF), phase_b, lambda b: b, best)
 
+        def tri_body(i, carry):
+            c = qread(i)
+            return apply_phase_b(carry, c, mt_cands(c, carry[0]))
+
+        def tri_pair_body(p, carry):
+            """Two clusters per iteration with INDEPENDENT phase-A chains.
+
+            Round-4 decomposition (BASELINE.md): phase 3 ran at ~450 cycles per
+            cluster ≈ its ~496 tile-op count — ONE vector op per cycle, i.e.
+            the 62-op-per-slot dependency chain serializes the VPU. Computing
+            two clusters' candidates from the same pre-pair best_t gives the
+            scheduler two independent chains to interleave. Correctness: the
+            looser best_t only ADDS candidates; each apply_phase_b re-checks
+            row_t < best[0] against the updated best, and the strict < keeps
+            the earlier queue position on exact ties, matching the sequential
+            semantics."""
+            c0 = qread(2 * p)
+            c1 = qread(2 * p + 1)
+            best_t = carry[0]
+            cands0 = mt_cands(c0, best_t)
+            cands1 = mt_cands(c1, best_t)
+            best = apply_phase_b(carry, c0, cands0)
+            return apply_phase_b(best, c1, cands1)
+
         def chunk_body(ci, best):
             lo = ci * RECULL_CHUNK
             # gather the chunk's 8 cluster AABBs and slab-test them against the
             # carry's current best-t (tighter than phase 1's seed)
             bx = jnp.concatenate(
-                [cl_ref[pl.ds(squeue[lo + j], 1), :] for j in range(RECULL_CHUNK)],
+                [cl_ref[pl.ds(qread(lo + j), 1), :] for j in range(RECULL_CHUNK)],
                 axis=0,
             )  # (8, 8)
             tn, tf = slab_tn_tf(bx, best[0])
@@ -450,6 +541,13 @@ def _tri_cluster_kernel(tmin_ref, scq_ref, scn_ref, cl_ref, pk_ref, pk2_ref,
         if recull:
             n_chunks = (qn + RECULL_CHUNK - 1) // RECULL_CHUNK
             best = lax.fori_loop(0, n_chunks, chunk_body, init)
+        elif pair:
+            # pad an odd queue with the degenerate pad cluster (zero edges
+            # reject in phase A; id stays BIG_IDF so phase B never fires).
+            # cqx queues arrive pre-padded from XLA.
+            if not cqx:
+                squeue[qn] = pad_cluster
+            best = lax.fori_loop(0, (qn + 1) // 2, tri_pair_body, init)
         else:
             best = lax.fori_loop(0, qn, tri_body, init)
         # report BIG where no triangle beat the seed (caller min-selects kinds)
@@ -594,9 +692,8 @@ def _tri_cluster_kernel_hbm(
         def _():
             start_dma(1, 1)
 
-        def process(best, slot, o_x=o_x, o_y=o_y, o_z=o_z, d_x=d_x, d_y=d_y, d_z=d_z):
-            """Phase A (MT) + gated phase B over the staged cluster in `slot`."""
-            best_t = best[0]
+        def mt_slot(best_t, slot, o_x=o_x, o_y=o_y, o_z=o_z, d_x=d_x, d_y=d_y, d_z=d_z):
+            """Phase A (MT) over the staged cluster in `slot` -> candidates."""
             blk = dbuf[pl.ds(slot * 16, 8), :]
             cand_t = jnp.full((SUBLANES, LANES), BIG, jnp.float32)
             cand_id = jnp.full((SUBLANES, LANES), BIG_IDF, jnp.float32)
@@ -643,8 +740,13 @@ def _tri_cluster_kernel_hbm(
                 cand_u = jnp.where(upd, u, cand_u)
                 cand_v = jnp.where(upd, v, cand_v)
                 cand_g = jnp.where(upd, float(g), cand_g)
+            return cand_t, cand_id, cand_u, cand_v, cand_g
+
+        def apply_phase_b(best, slot, cands):
+            cand_t, cand_id, cand_u, cand_v, cand_g = cands
 
             def phase_b(best):
+                best_t = best[0]
                 blk2 = dbuf[pl.ds(slot * 16 + 8, 8), :]
                 row_t = jnp.min(cand_t, axis=0, keepdims=True)
                 row_id = jnp.min(
@@ -684,16 +786,23 @@ def _tri_cluster_kernel_hbm(
             return lax.cond(jnp.any(cand_id < BIG_IDF), phase_b, lambda b: b, best)
 
         def pair_body(j, best):
+            """Serial per slot, DMA for slot s+2 issued as soon as slot s is
+            consumed. A round-4 variant that interleaved both slots'
+            independent phase-A chains (the VMEM kernel's tri_pair_body win,
+            +5%) was A/B'd on chip and REJECTED here: 3.19M vs 3.58M rays/s on
+            the 318k-tri bigmesh — delaying the next DMA until after both
+            phase Bs costs more overlap than the ILP recovers when the staging
+            is HBM-latency-bound."""
             i0 = 2 * j
             wait_dma(0, i0)
-            best = process(best, 0)
+            best = apply_phase_b(best, 0, mt_slot(best[0], 0))
 
             @pl.when(i0 + 2 < qn2)
             def _():
                 start_dma(0, i0 + 2)
 
             wait_dma(1, i0 + 1)
-            best = process(best, 1)
+            best = apply_phase_b(best, 1, mt_slot(best[0], 1))
 
             @pl.when(i0 + 3 < qn2)
             def _():
@@ -764,9 +873,23 @@ def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None,
         sort = os.environ.get("TPUPT_TRI_SORT", "1") == "1"
     if recull is None:
         recull = os.environ.get("TPUPT_TRI_RECULL", "0") == "1"
-    scq, scn = _supercull_order(
-        sd.tri_scl, *planes[:6], planes[6], jnp.float32(tmin), sort
+    # cqx: ship the CLUSTER queue from XLA and drop kernel phases 1-2 — only
+    # for small tables (dense cull cost scales with C) and not for HBM scenes
+    cqx = (
+        not hbm
+        and not recull
+        and sd.tri_cl.shape[0] <= CQX_MAX_CLUSTERS
+        and os.environ.get("TPUPT_TRI_CQX", "1") == "1"
     )
+    if cqx:
+        scq, scn = _cluster_queue(
+            sd.tri_cl, *planes[:6], planes[6], jnp.float32(tmin), sort,
+            sd.tri_cl.shape[0] - 1,
+        )
+    else:
+        scq, scn = _supercull_order(
+            sd.tri_scl, *planes[:6], planes[6], jnp.float32(tmin), sort
+        )
     # Diagnostic substitutions (probe-only; tools/probe_tri_kernel.py): isolate
     # the kernel's cost phases on chip without kernel-code variants.
     #   TPUPT_TRI_STUB=1  -> counts forced 0: per-row preamble+output cost only
@@ -780,7 +903,9 @@ def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None,
 
     ray_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    scq_spec = pl.BlockSpec((SUBLANES, scp), lambda i: (i, 0), memory_space=pltpu.SMEM)
+    scq_spec = pl.BlockSpec(
+        (SUBLANES, scq.shape[1]), lambda i: (i, 0), memory_space=pltpu.SMEM
+    )
     scn_spec = pl.BlockSpec((SUBLANES, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
     grid = (bp // BLOCK,)
     f32_out = jax.ShapeDtypeStruct((bp // LANES, LANES), jnp.float32)
@@ -802,6 +927,7 @@ def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None,
         kernel = partial(
             _tri_cluster_kernel, n_cl_blocks=n_cl_blocks,
             pad_cluster=sd.tri_cl.shape[0] - 1, recull=recull,
+            pair=os.environ.get("TPUPT_TRI_PAIR", "1") == "1", cqx=cqx,
         )
         pk_spec = full_spec
         scratch = [
