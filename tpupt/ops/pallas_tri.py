@@ -211,7 +211,8 @@ def _supercull_order(scl, ox, oy, oz, dx, dy, dz, tin, tmin, sort):
     return order, counts
 
 
-def _cluster_queue(cl, ox, oy, oz, dx, dy, dz, tin, tmin, sort, pad_cluster):
+def _cluster_queue(cl, ox, oy, oz, dx, dy, dz, tin, tmin, sort, pad_cluster,
+                   want_key=False):
     """cqx mode: the per-row CLUSTER visit queue, computed in plain XLA.
 
     Same contract as _supercull_order but at cluster granularity, which lets
@@ -253,8 +254,19 @@ def _cluster_queue(cl, ox, oy, oz, dx, dy, dz, tin, tmin, sort, pad_cluster):
     order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
     counts = jnp.sum(anyhit, axis=1, dtype=jnp.int32)[:, None]
     pos = jnp.arange(order.shape[1], dtype=jnp.int32)[None, :]
+    skey = None
+    if want_key:
+        # sorted entry keys, for the kernel's ordered-traversal gate: a
+        # triangle hit in cluster order[i] by ANY lane has t >= skey[i] (the
+        # row's nearest lane entry), so once every lane's best_t <= skey[i],
+        # clusters i.. can't improve and are skipped. Positions >= count carry
+        # BIG (never pass). ONLY computed when the gate asks: the
+        # take_along_axis is a per-row gather and measurably slows the default
+        # path (STUB probe 22.3M vs 119.8M rows/s preamble — round 4).
+        skey = jnp.take_along_axis(key, order, axis=1)
+        skey = jnp.where(pos < counts, skey.astype(jnp.float32), BIG)
     order = jnp.where(pos < counts, order, jnp.int32(pad_cluster))
-    return order, counts
+    return order, counts, skey
 
 
 # cqx (cluster-queue-from-XLA) pays while the dense per-lane cluster cull is
@@ -262,10 +274,11 @@ def _cluster_queue(cl, ox, oy, oz, dx, dy, dz, tin, tmin, sort, pad_cluster):
 CQX_MAX_CLUSTERS = 768
 
 
-def _tri_cluster_kernel(tmin_ref, scq_ref, scn_ref, cl_ref, pk_ref, pk2_ref,
+def _tri_cluster_kernel(tmin_ref, scq_ref, scn_ref, kq_ref, cl_ref, pk_ref, pk2_ref,
                         ox, oy, oz, dx, dy, dz,
                         tin, t_out, id_out, nx_out, ny_out, nz_out, uu_out, vv_out, mat_out,
-                        vword, squeue, *, n_cl_blocks, pad_cluster, recull, pair, cqx):
+                        vword, squeue, *, n_cl_blocks, pad_cluster, recull, pair, cqx,
+                        gate):
     """Branch-free phases per 128-ray row (measured: per-cluster lax.cond +
     scalar readback cost ~65 cycles each and dominated v1 — see BASELINE.md):
 
@@ -547,7 +560,25 @@ def _tri_cluster_kernel(tmin_ref, scq_ref, scn_ref, cl_ref, pk_ref, pk2_ref,
             # cqx queues arrive pre-padded from XLA.
             if not cqx:
                 squeue[qn] = pad_cluster
-            best = lax.fori_loop(0, (qn + 1) // 2, tri_pair_body, init)
+            if gate:
+                # ordered-traversal gate (bvh.rs:124-163's shrinking t-interval,
+                # exact): the queue is front-to-back by row entry key, and a
+                # triangle hit in cluster order[i] has t >= skey[i] for every
+                # lane, so once max(best_t) <= skey[2p] the pair (and, by
+                # monotonicity, every later pair — each skipped by its own
+                # cheap cond) cannot improve any lane. Dead lanes carry
+                # best_t = t_in = 0 and never hold the gate open.
+                def gated_pair(p, carry):
+                    def run(b, p=p):
+                        return tri_pair_body(p, b)
+
+                    return lax.cond(
+                        jnp.max(carry[0]) > kq_ref[rr, 2 * p], run, lambda b: b, carry
+                    )
+
+                best = lax.fori_loop(0, (qn + 1) // 2, gated_pair, init)
+            else:
+                best = lax.fori_loop(0, (qn + 1) // 2, tri_pair_body, init)
         else:
             best = lax.fori_loop(0, qn, tri_body, init)
         # report BIG where no triangle beat the seed (caller min-selects kinds)
@@ -565,14 +596,18 @@ def _tri_cluster_kernel(tmin_ref, scq_ref, scn_ref, cl_ref, pk_ref, pk2_ref,
 
 
 
-# HBM-resident variant (VERDICT round-2 item 5): SMEM cluster-queue capacity
-# bounds the scene at 8192 clusters = 512k triangles; beyond that the compiler
-# falls back to the dense sweep.
-MAX_HBM_CLUSTERS = 8192
+# HBM-resident variant (VERDICT round-2 item 5): the SMEM cluster-queue
+# scratch (4 B/cluster) bounds the scene size; beyond it the compiler falls
+# back to the dense sweep. Round 4 lifted the bound from 8192 (512k tris) to
+# 32768 clusters (~2M tris, 128 KB queue) after tools/probe_bigmesh_cap.py
+# compiled and hit-matched a 1.27M-tri mesh on real Mosaic. The reference's
+# heap BVHs are unbounded (mesh.rs:149-197); past this cap a two-level paged
+# queue would be the next step.
+MAX_HBM_CLUSTERS = 32768
 
 
 def _tri_cluster_kernel_hbm(
-    tmin_ref, scq_ref, scn_ref, cl_ref, pk_hbm, pk2_hbm, ox, oy, oz, dx, dy, dz,
+    tmin_ref, scq_ref, scn_ref, kq_ref, cl_ref, pk_hbm, pk2_hbm, ox, oy, oz, dx, dy, dz,
     tin, t_out, id_out, nx_out, ny_out, nz_out, uu_out, vv_out, mat_out,
     vword, squeue, dbuf, dsem, *, n_cl_blocks, pad_cluster,
 ):
@@ -881,15 +916,23 @@ def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None,
         and sd.tri_cl.shape[0] <= CQX_MAX_CLUSTERS
         and os.environ.get("TPUPT_TRI_CQX", "1") == "1"
     )
+    # ordered-traversal gate: needs cqx (cluster-granular queue) + sorted keys.
+    # Default OFF — on-chip A/B (round 4): the per-pair lax.cond + scalar
+    # max-reduce breaks Mosaic's loop pipelining and costs far more than the
+    # skipped clusters return (worst probe 17.8 -> 10.4M, seeded 34.3 -> 15.4M)
+    gate = cqx and sort and os.environ.get("TPUPT_TRI_GATE", "0") == "1"
     if cqx:
-        scq, scn = _cluster_queue(
+        scq, scn, skq = _cluster_queue(
             sd.tri_cl, *planes[:6], planes[6], jnp.float32(tmin), sort,
-            sd.tri_cl.shape[0] - 1,
+            sd.tri_cl.shape[0] - 1, want_key=gate,
         )
     else:
         scq, scn = _supercull_order(
             sd.tri_scl, *planes[:6], planes[6], jnp.float32(tmin), sort
         )
+        skq = None
+    if skq is None:
+        skq = jnp.zeros((scq.shape[0], 1), jnp.float32)  # unused without gate
     # Diagnostic substitutions (probe-only; tools/probe_tri_kernel.py): isolate
     # the kernel's cost phases on chip without kernel-code variants.
     #   TPUPT_TRI_STUB=1  -> counts forced 0: per-row preamble+output cost only
@@ -905,6 +948,9 @@ def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None,
     full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     scq_spec = pl.BlockSpec(
         (SUBLANES, scq.shape[1]), lambda i: (i, 0), memory_space=pltpu.SMEM
+    )
+    kq_spec = pl.BlockSpec(
+        (SUBLANES, skq.shape[1]), lambda i: (i, 0), memory_space=pltpu.SMEM
     )
     scn_spec = pl.BlockSpec((SUBLANES, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
     grid = (bp // BLOCK,)
@@ -928,6 +974,7 @@ def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None,
             _tri_cluster_kernel, n_cl_blocks=n_cl_blocks,
             pad_cluster=sd.tri_cl.shape[0] - 1, recull=recull,
             pair=os.environ.get("TPUPT_TRI_PAIR", "1") == "1", cqx=cqx,
+            gate=gate,
         )
         pk_spec = full_spec
         scratch = [
@@ -940,8 +987,9 @@ def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            scq_spec,  # per-row supercluster queue (phase 0, from XLA)
-            scn_spec,  # per-row supercluster hit count
+            scq_spec,  # per-row (super)cluster queue (phase 0, from XLA)
+            scn_spec,  # per-row queue entry count
+            kq_spec,  # per-row sorted entry keys (ordered-traversal gate)
             full_spec,  # cluster AABBs
             pk_spec,  # packed triangle geometry blocks
             pk_spec,  # packed shading attribute blocks
@@ -951,7 +999,7 @@ def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None,
         out_shape=[f32_out, i32_out, f32_out, f32_out, f32_out, f32_out, f32_out, i32_out],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(jnp.asarray(tmin, jnp.float32).reshape(1), scq, scn, tri_cl, sd.tri_pk,
+    )(jnp.asarray(tmin, jnp.float32).reshape(1), scq, scn, skq, tri_cl, sd.tri_pk,
       sd.tri_pk2, *planes)
 
     def unplane(x):
