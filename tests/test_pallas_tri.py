@@ -306,3 +306,54 @@ def test_hbm_routing_beyond_512k_tris():
     assert sd.tri_cl.shape[0] <= MAX_HBM_CLUSTERS
     assert sd.tri_pk.nbytes + sd.tri_pk2.nbytes > MAX_PACKED_BYTES
     assert sd.has_tri_bvh or sd.has_tri_clusters_hbm
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [
+        dict(sort=False, recull=False),  # plain DFS order, straight fori
+        dict(sort=True, recull=True),  # chunked best-t re-cull (default-off path)
+        dict(sort=True, recull=False, gate=True),  # ordered-traversal gate
+        dict(sort=True, recull=False, pair=False),  # single-cluster phase 3
+        dict(sort=True, recull=False, cqx=False),  # hierarchical sc path
+    ],
+    ids=["unsorted", "recull", "gate", "nopair", "nocqx"],
+)
+def test_flag_matrix_matches_default(flags, monkeypatch):
+    """Every non-default kernel variant (env-flag-selected) must agree with the
+    default configuration hit-for-hit: these paths are kept for on-chip A/Bs
+    and must not bit-rot. Ties between exact-equal t across clusters are the
+    only allowed divergence (measure-zero for random rays)."""
+    from tpupt.ops.pallas_tri import pallas_closest_tri
+
+    sd = _bunny_sd()
+    rng = np.random.default_rng(11)
+    b = 512
+    o = rng.normal(size=(b, 3)).astype(np.float32)
+    o = 3.0 * o / np.linalg.norm(o, axis=1, keepdims=True) + np.float32(1.0)
+    d = rng.normal(size=(b, 3)).astype(np.float32)
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    t_in = jnp.full((b,), 3e38, jnp.float32)
+
+    for env, val in (("TPUPT_TRI_PAIR", flags.get("pair", True)),
+                     ("TPUPT_TRI_CQX", flags.get("cqx", True)),
+                     ("TPUPT_TRI_GATE", flags.get("gate", False))):
+        monkeypatch.setenv(env, "1" if val else "0")
+    kw = dict(sort=flags["sort"], recull=flags["recull"])
+    t_f, i_f, aux_f = jax.jit(
+        lambda: pallas_closest_tri(sd, o, d, t_in, 1e-3, interpret=True, hbm=False, **kw)
+    )()
+    monkeypatch.setenv("TPUPT_TRI_PAIR", "1")
+    monkeypatch.setenv("TPUPT_TRI_CQX", "1")
+    monkeypatch.setenv("TPUPT_TRI_GATE", "0")
+    t_d, i_d, aux_d = jax.jit(
+        lambda: pallas_closest_tri(sd, o, d, t_in, 1e-3, interpret=True, hbm=False)
+    )()
+    np.testing.assert_array_equal(np.asarray(t_f), np.asarray(t_d))
+    np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_d))
+    for k in aux_f:
+        np.testing.assert_array_equal(np.asarray(aux_f[k]), np.asarray(aux_d[k]))
