@@ -142,6 +142,192 @@ def trace_radiance_scan(
     return (L, rays) if with_rays else L
 
 
+def trace_film_scan(
+    sd, cam, pixel_ids, rows, cols, sample0, spp_limit, seed, k, max_depth,
+    has_lights, segment_size=SEGMENT, with_rays=False,
+):
+    """Reverse-differentiable twin of trace_film_streamed: path REGENERATION
+    under a fixed-trip lax.scan (round 5, VERDICT round-4 item 1).
+
+    The masked scan (trace_radiance_scan) runs every (pixel, sample) lane
+    through every executed bounce — on Cornell depth-50 that is ~16% occupancy
+    (rays counted / lane-trips executed), and the backward pass replays the
+    same dead-lane work under rematerialization. The forward renderer solved
+    exactly this with path regeneration (integrator.py trace_film_streamed);
+    this is its differentiable counterpart:
+
+    - each lane streams its own k-sample slice of one pixel: when a path dies,
+      the lane immediately starts its next camera ray (regeneration is
+      RNG-driven and parameter-independent — nothing to detach);
+    - the trip count is static (k * max_depth worst case) but bounces run in
+      `segment_size`-trip segments gated on any-lane-has-work with lax.cond,
+      so trips past the last live sample cost one predicate each, forward AND
+      backward (cond's VJP takes the identity branch for skipped segments);
+    - per-trip bodies are jax.checkpoint-ed: the scan saves O(state) per
+      executed trip and the backward replays each trip once (same remat
+      schedule as trace_radiance_scan — the win is executing ~4x fewer
+      full-width trips, not a cheaper trip).
+
+    Radiance lands in a per-lane FILM SUM (the lane's k samples accumulated),
+    so gradients take a per-lane film cotangent — the film-sum/mean gradient
+    semantics of render_grads and the sharded grad step, where the cotangent
+    is constant across a pixel's samples. Per-(pixel,sample) estimates are NOT
+    individually addressable here (use trace_radiance_scan for per-sample
+    cotangents); per-sample radiance and the RNG stream are bit-identical to
+    trace_radiance / trace_film_streamed.
+
+    Returns film_sum [B,3] (with_rays=True: (film_sum, rays uint32))."""
+    from .camera import generate_rays
+
+    b = pixel_ids.shape[0]
+    p_light = REAL(0.5 if has_lights else 0.0)
+    p_bsdf = REAL(1.0) - p_light
+    sample0 = sample0 * jnp.ones_like(pixel_ids)
+
+    @jax.checkpoint
+    def body(carry, _):
+        o, d, time, T, L, film, alive, bounce, sample, cur_sample, rays = carry
+
+        # ---- regenerate lanes whose path is finished and have samples left ----
+        need = (~alive) & (sample < k) & ((sample0 + sample) < spp_limit)
+        new_sample = sample0 + sample
+        o_new, d_new, t_new = generate_rays(cam, rows, cols, pixel_ids, new_sample, seed)
+        nm = need[..., None]
+        o = jnp.where(nm, o_new, o)
+        d = jnp.where(nm, d_new, d)
+        time = jnp.where(need, t_new, time)
+        T = jnp.where(nm, 1.0, T)
+        L = jnp.where(nm, 0.0, L)
+        bounce = jnp.where(need, 0, bounce)
+        cur_sample = jnp.where(need, new_sample, cur_sample)
+        sample = sample + need.astype(jnp.int32)
+        alive = alive | need
+        rays = rays + jnp.sum(alive).astype(jnp.uint32)
+
+        # ---- one bounce (detached-sampling estimator) ----
+        o_next, d_next, T, L, alive_h = bounce_step(
+            sd, o, d, time, T, L, alive, bounce, pixel_ids, cur_sample, seed,
+            p_light, p_bsdf, has_lights, detach=True,
+        )
+        bounce = bounce + 1
+        alive_h = alive_h & (bounce < max_depth)
+
+        # ---- flush finished paths into the per-lane film ----
+        died = alive & ~alive_h
+        film = film + jnp.where(died[..., None], L, 0.0)
+
+        o = jnp.where(alive_h[..., None], o_next, o)
+        d = jnp.where(alive_h[..., None], d_next, d)
+        return (o, d, time, T, L, film, alive_h, bounce, sample, cur_sample, rays), None
+
+    o0 = jnp.zeros((b, 3), REAL)
+    d0 = jnp.concatenate([jnp.zeros((b, 2), REAL), jnp.ones((b, 1), REAL)], -1)
+    carry = (
+        o0, d0, jnp.zeros((b,), REAL), jnp.ones((b, 3), REAL),
+        jnp.zeros((b, 3), REAL), jnp.zeros((b, 3), REAL),
+        jnp.zeros((b,), bool), jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.int32), jnp.uint32(0),
+    )
+
+    def has_work(c):
+        _, _, _, _, _, _, alive, _, sample, _, _ = c
+        return jnp.any(alive | ((sample < k) & ((sample0 + sample) < spp_limit)))
+
+    n_trips = k * max_depth
+    n_seg = -(-n_trips // segment_size)
+
+    def seg_body(c, _):
+        def run(c):
+            c2, _ = lax.scan(body, c, None, length=segment_size)
+            return c2
+
+        return lax.cond(has_work(c), run, lambda c: c, c), None
+
+    (_, _, _, _, _, film, _, _, _, _, rays), _ = lax.scan(
+        seg_body, carry, None, length=n_seg
+    )
+    return (film, rays) if with_rays else film
+
+
+@partial(jax.jit, static_argnames=("k", "max_depth", "has_lights", "segment_size"))
+def _film_grads_step(
+    params, sd, cam, pix, rows, cols, lane_sample0, spp, seed, cot, *, k,
+    max_depth, has_lights, segment_size,
+):
+    import numpy as np
+
+    def f(p):
+        return trace_film_scan(
+            apply_params(sd, p), cam, pix, rows, cols, lane_sample0, spp, seed,
+            k, max_depth, has_lights, segment_size=segment_size, with_rays=True,
+        )
+
+    (film, rays), vjp = jax.vjp(f, params)
+    (grads,) = vjp((cot, np.zeros((), dtype=jax.dtypes.float0)))
+    return film, grads, rays
+
+
+def _film_grads_call(k, max_depth, has_lights, segment_size):
+    """Jitted film-grads step, cached per static config so repeat callers
+    (bench reps, optimization loops) re-enter the same compiled program."""
+    return partial(
+        _film_grads_step, k=k, max_depth=max_depth, has_lights=has_lights,
+        segment_size=segment_size,
+    )
+
+
+def render_film_grads(
+    compiled, camera, spp: int | None = None, seed: int = 0, cotangent=None,
+    replicas: int | None = None, segment_size=SEGMENT, return_stats=False,
+):
+    """Whole-image film + parameter gradients via the regenerating scan.
+
+    The production backward entry (and the `grads` bench config): renders the
+    full image at `spp` (default camera.samples_per_pixel) with r lanes per
+    pixel each streaming spp/r samples, and returns
+    (mean radiance [H,W,3], grads of d(sum_pixels cotangent . mean_sample
+    radiance)/d params). cotangent is per-pixel [H*W,3] (default ones — the
+    white-image sum, matching render_grads semantics).
+
+    replicas (r) trades lane count against per-lane stream length exactly like
+    render_image's scheduler; default targets ~2^18 lanes like the forward
+    renderer (the A/B lives in BASELINE.md round 5)."""
+    import numpy as np
+
+    sd = compiled.data
+    cam = camera.init()
+    w, h = camera.image_width, camera.image_height
+    spp = camera.samples_per_pixel if spp is None else spp
+    npix = w * h
+    if replicas is None:
+        replicas = max(1, min((1 << 18) // npix, spp))
+    while spp % replicas:  # k must be exact: every sample traced exactly once
+        replicas -= 1
+    r = replicas
+    k = spp // r
+
+    pix = jnp.asarray(np.tile(np.arange(npix, dtype=np.int32), r))
+    rows, cols = pix // w, pix % w
+    lane_sample0 = jnp.repeat(jnp.arange(r, dtype=jnp.int32) * k, npix)
+
+    if cotangent is None:
+        cot_pix = jnp.ones((npix, 3), REAL)
+    else:
+        cot_pix = jnp.asarray(cotangent, REAL).reshape(npix, 3)
+    cot = jnp.tile(cot_pix, (r, 1)) / spp
+
+    params = init_params(sd)
+    run = _film_grads_call(k, camera.max_depth, compiled.has_lights, segment_size)
+    film, grads, rays = run(
+        params, sd, cam, pix, rows, cols, lane_sample0, jnp.int32(spp),
+        jnp.uint32(seed), cot,
+    )
+    mean = (film.reshape(r, npix, 3).sum(0) / spp).reshape(h, w, 3)
+    if return_stats:
+        return mean, grads, int(rays)
+    return mean, grads
+
+
 def segmented_film_vjp(
     params, sd, cam, pixel_ids, rows, cols, sample_ids, seed, max_depth,
     has_lights, cotangent, *, segment_size=SEGMENT, psum_axis=None,
