@@ -16,11 +16,17 @@ wavefront bounce of every live lane) inside the jitted kernel. The first launch
 (compile, exact shapes) is excluded; throughput is measured over the subsequent
 warm run covering the full sample budget.
 
-vs_baseline compares against the reference estimate derived in BASELINE.md
-(REF_RAYS_PER_S): the Rust CPU tracer's throughput reconstructed from its midterm
-report timing, scaled to a release+rayon build (no Rust toolchain exists in this
-image to measure it directly). The reconstruction is Cornell-shaped; other
-configs report vs_baseline against the same number for continuity.
+Each config's JSON line reports the MEDIAN of BENCH_REPS (default 3) timed
+runs with a "band": [min, max] — the chip/tunnel drifts run-to-run, and a
+single sample was unfalsifiable (VERDICT round-4 item 2).
+
+vs_baseline compares against a PER-CONFIG reference estimate derived in
+BASELINE.md ("Reference reconstruction per config"): the Rust CPU tracer's
+throughput reconstructed from its midterm report timing, scaled to a
+release+rayon build and to each scene's per-ray intersection cost (no Rust
+toolchain exists in this image to measure it directly). Configs with no
+reference counterpart (grads — the reference is forward-only; bigmesh — not a
+reference scene) omit vs_baseline and report raw rays/s + sol_pct only.
 """
 
 import json
@@ -34,11 +40,28 @@ import jax
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-# Reference baseline (see BASELINE.md "Reference throughput estimate"):
-# midterm report: ~25 min for ~HD(1280x720) x 1000 spp single-thread pre-BVH
-# => ~0.6M paths/s; ~5 rays/path with RR => ~3M rays/s single-thread;
-# x10 for the final release+rayon build on a contemporary laptop => 3e7 rays/s.
-REF_RAYS_PER_S = 3.0e7
+# Reference baseline, PER CONFIG (VERDICT round-4 item 5; arithmetic in
+# BASELINE.md "Reference reconstruction per config"). Anchor: midterm report
+# ~25 min for ~HD(1280x720) x 1000 spp single-thread => ~0.61M paths/s;
+# ~5 rays/path with RR => ~3M rays/s single-thread; x10 for the final
+# release+rayon build on a contemporary laptop => 3e7 rays/s on few-prim
+# scenes (cornell/lights class). scene6 traverses a top-level BVH plus nested
+# mesh BVHs over 16.6k tris with dyn-dispatch pointer chasing — measured
+# traversal stats (ops/bvh.py count_node_visits: ~15 AABB visits + ~3 tri
+# tests/ray vs cornell's ~8 visits + prim tests) plus cache behavior put its
+# per-ray cost at ~2x cornell's => 1.5e7. grads has NO reference counterpart
+# (the reference is forward-only, camera.rs:79-126) and bigmesh is not a
+# reference scene — both report sol_pct / raw rays/s only (None here).
+REF_RAYS_PER_S = {
+    "cornell_rays_per_s_per_chip": 3.0e7,
+    "lights_rays_per_s_per_chip": 3.0e7,
+    # same scene-4 image as `lights`; the reference has no f32/IS env path, so
+    # the comparison is same-image-quality (our IS converges faster per ray).
+    "lights_hdr_is_rays_per_s_per_chip": 3.0e7,
+    "scene6_rays_per_s_per_chip": 1.5e7,
+    "grads_rays_per_s_per_chip": None,
+    "bigmesh_318k_tri_rays_per_s_per_chip": None,
+}
 
 # Speed-of-light denominators (VERDICT round-4 item 6): rays/s if the v5e VPU
 # (~3.85e12 f32 lane-ops/s: 4 ALUs x 1024 lanes x ~940 MHz) executed only the
@@ -104,47 +127,52 @@ def _bigmesh_scene():
     return s, cam
 
 
+BENCH_REPS = int(os.environ.get("BENCH_REPS", 3))
+
+
 def run_grads():
-    """Backward-pass throughput (VERDICT round-2 item 4): rays/s through
-    render_grads (forward + VJP of the film sum w.r.t. all DIFF_FIELDS params)
-    on Cornell at depth 50. The ray count is the forward pass's scene
-    intersections; the rematerialized backward replays each once more, so this
-    is a conservative fwd+bwd figure. The segmented early-exit scan
-    (render/diff.py SEGMENT) is what makes depth-50 affordable — see BASELINE.md
-    for the A/B vs the naive 50-trip scan."""
-    from tpupt.render.diff import (
-        _value_and_grad_call, init_params, make_pixel_fn,
-    )
+    """Backward-pass throughput (VERDICT round-2 item 4, round-4 item 1):
+    rays/s through render_film_grads (forward + VJP of the film sum w.r.t. all
+    DIFF_FIELDS params) on Cornell at depth 50. The ray count is the forward
+    pass's scene intersections; the rematerialized backward replays each once
+    more, so this is a conservative fwd+bwd figure.
+
+    Round 5: the bench drives the path-REGENERATION differentiable scan
+    (render/diff.py trace_film_scan, r=4 lanes/pixel each streaming 8 samples)
+    instead of the masked one-lane-per-sample scan — same estimator, same RNG
+    stream, same gradients; the masked scan ran every (pixel,sample) lane
+    through every executed bounce at ~12% occupancy. On-chip A/B (BASELINE.md
+    round 5): masked 7.2M -> regenerating 14.6M rays/s fwd+bwd.
+
+    Returns BENCH_REPS timed rays/s measurements (one warmup excluded)."""
+    from tpupt.render.diff import render_film_grads
     from tpupt.scenes import cornell_box_scene
 
-    import jax.numpy as jnp
-    import numpy as np
+    import jax
 
     spp = 32
     scene, cam = cornell_box_scene(128, spp)
     compiled = scene.compile()
-    w, h = cam.image_width, cam.image_height
-    npix = w * h
-    fn = make_pixel_fn(compiled, cam, with_rays=True)
-    pix = jnp.asarray(np.repeat(np.arange(npix, dtype=np.int32), spp))
-    rows, cols = pix // w, pix % w
-    samp = jnp.asarray(np.tile(np.arange(spp, dtype=np.int32), npix))
-    cot = jnp.ones((npix * spp, 3), jnp.float32) / spp
-    params = init_params(compiled.data)
-    args = (pix, rows, cols, samp, jnp.uint32(0))
 
-    _value_and_grad_call(fn, params, args, cot)  # compile warm-up
+    render_film_grads(compiled, cam, spp=spp, seed=0, replicas=4)  # compile warm-up
     print("# grads: warmup done", file=sys.stderr, flush=True)
-    t0 = time.perf_counter()
-    _, grads, rays = _value_and_grad_call(fn, params, args, cot)
-    import jax
-
-    jax.block_until_ready(grads)
-    wall = time.perf_counter() - t0
-    return int(rays) / wall
+    rates = []
+    for _ in range(BENCH_REPS):
+        t0 = time.perf_counter()
+        _, grads, rays = render_film_grads(
+            compiled, cam, spp=spp, seed=0, replicas=4, return_stats=True
+        )
+        jax.block_until_ready(grads)
+        rates.append(int(rays) / (time.perf_counter() - t0))
+    return rates
 
 
 def run_config(name, make):
+    """One warmup launch (compile, exact shapes), then BENCH_REPS timed runs
+    over the full sample budget. Returns the list of rays/s measurements —
+    median-of-N with a [lo, hi] band goes into the JSON line (VERDICT round-4
+    item 2: single-run deltas were unfalsifiable against the chip's run-to-run
+    drift)."""
     from tpupt.render.renderer import render_image
 
     if name == "grads":
@@ -156,25 +184,33 @@ def run_config(name, make):
     # warm spp compiles a different program and the timed run pays the compile)
     render_image(compiled, cam, rays_per_launch=1 << 20, progress=False)
     print(f"# {name}: warmup done", file=sys.stderr, flush=True)
-    t0 = time.perf_counter()
-    _, _, stats = render_image(compiled, cam, rays_per_launch=1 << 20, progress=False)
-    wall = time.perf_counter() - t0
-    return stats.rays / wall
+    rates = []
+    for _ in range(BENCH_REPS):
+        t0 = time.perf_counter()
+        _, _, stats = render_image(compiled, cam, rays_per_launch=1 << 20, progress=False)
+        rates.append(stats.rays / (time.perf_counter() - t0))
+    return rates
 
 
 def _run_one_inprocess(name):
-    """Child-process entry: run one config and print its JSON line."""
+    """Child-process entry: run one config and print its JSON line
+    (value = median of BENCH_REPS runs, band = [min, max])."""
     configs = _configs()
     metric, make = configs[name]
-    rays_per_s = run_config(name, make)
+    rates = sorted(run_config(name, make))
+    median = rates[len(rates) // 2] if len(rates) % 2 else 0.5 * (rates[len(rates) // 2 - 1] + rates[len(rates) // 2])
     line = {
         "metric": metric,
-        "value": round(rays_per_s, 1),
+        "value": round(median, 1),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_s / REF_RAYS_PER_S, 4),
     }
+    ref = REF_RAYS_PER_S.get(metric)
+    if ref is not None:
+        line["vs_baseline"] = round(median / ref, 4)
+    if len(rates) > 1:
+        line["band"] = [round(rates[0], 1), round(rates[-1], 1)]
     if metric in SOL_RAYS_PER_S:
-        line["sol_pct"] = round(100.0 * rays_per_s / SOL_RAYS_PER_S[metric], 1)
+        line["sol_pct"] = round(100.0 * median / SOL_RAYS_PER_S[metric], 1)
     print(json.dumps(line), flush=True)
     return 0
 
@@ -202,11 +238,21 @@ def main():
     rc = 0
     for i, name in enumerate(names):
         env = dict(os.environ, BENCH_CHILD=name)
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, timeout=3600,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=3600,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        except subprocess.TimeoutExpired:
+            # a hung config (wedged TPU kernel) costs one error line, not the
+            # rest of the round's JSON (ADVICE round-4 medium)
+            metric = _configs()[name][0]
+            print(json.dumps({"metric": metric, "error": "timeout"}), flush=True)
+            print(f"# {name} TIMED OUT", file=sys.stderr, flush=True)
+            if i == 0:
+                rc = 1
+            continue
         emitted = False
         for line in r.stdout.splitlines():
             if line.startswith("{"):
