@@ -896,7 +896,18 @@ def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None,
         plane(t_in),  # pad lanes get t_in = 0 -> no box can pass tn >= tmin > 0
     ]
     n_cl_blocks = sd.tri_cl.shape[0] // 8
-    scp = sd.tri_scl.shape[0]
+
+    # Diagnostic substitutions (probe-only; tools/probe_tri_kernel.py): isolate
+    # the kernel's cost phases on chip without kernel-code variants. Applied
+    # BEFORE the queue is built so the cqx path sees the substituted AABBs too
+    # (ADVICE round-4: substituting after _cluster_queue left the queue fully
+    # populated, corrupting probe cost attribution under the default cqx path).
+    #   TPUPT_TRI_STUB=1  -> counts forced 0: per-row preamble+output cost only
+    #   TPUPT_TRI_NOMT=1  -> cluster AABBs pushed to +1e30: cull phases run,
+    #                        queue stays empty (no Moller-Trumbore work)
+    tri_cl = sd.tri_cl
+    if os.environ.get("TPUPT_TRI_NOMT", "") == "1":
+        tri_cl = jnp.full_like(tri_cl, 1e30)
 
     # phase 0 in XLA: per-row supercluster visit queue, front-to-back unless
     # disabled for A/B (TPUPT_TRI_SORT=0). Flags are read at trace time.
@@ -916,14 +927,17 @@ def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None,
         and sd.tri_cl.shape[0] <= CQX_MAX_CLUSTERS
         and os.environ.get("TPUPT_TRI_CQX", "1") == "1"
     )
-    # ordered-traversal gate: needs cqx (cluster-granular queue) + sorted keys.
+    # ordered-traversal gate: needs cqx (cluster-granular queue) + sorted keys
+    # + the pair-interleaved phase 3 (the only branch that reads the gate — with
+    # pair off the sorted-key gather would be paid for nothing; ADVICE round-4).
     # Default OFF — on-chip A/B (round 4): the per-pair lax.cond + scalar
     # max-reduce breaks Mosaic's loop pipelining and costs far more than the
     # skipped clusters return (worst probe 17.8 -> 10.4M, seeded 34.3 -> 15.4M)
-    gate = cqx and sort and os.environ.get("TPUPT_TRI_GATE", "0") == "1"
+    pair = os.environ.get("TPUPT_TRI_PAIR", "1") == "1"
+    gate = cqx and sort and pair and os.environ.get("TPUPT_TRI_GATE", "0") == "1"
     if cqx:
         scq, scn, skq = _cluster_queue(
-            sd.tri_cl, *planes[:6], planes[6], jnp.float32(tmin), sort,
+            tri_cl, *planes[:6], planes[6], jnp.float32(tmin), sort,
             sd.tri_cl.shape[0] - 1, want_key=gate,
         )
     else:
@@ -933,16 +947,8 @@ def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None,
         skq = None
     if skq is None:
         skq = jnp.zeros((scq.shape[0], 1), jnp.float32)  # unused without gate
-    # Diagnostic substitutions (probe-only; tools/probe_tri_kernel.py): isolate
-    # the kernel's cost phases on chip without kernel-code variants.
-    #   TPUPT_TRI_STUB=1  -> counts forced 0: per-row preamble+output cost only
-    #   TPUPT_TRI_NOMT=1  -> cluster AABBs pushed to +1e30: phases 1-2 run
-    #                        (cull + full scalar compact), queue stays empty
-    tri_cl = sd.tri_cl
     if os.environ.get("TPUPT_TRI_STUB", "") == "1":
-        scn = jnp.zeros_like(scn)
-    if os.environ.get("TPUPT_TRI_NOMT", "") == "1":
-        tri_cl = jnp.full_like(tri_cl, 1e30)
+        scn = jnp.zeros_like(scn)  # probe-only: per-row preamble+output cost
 
     ray_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -973,8 +979,7 @@ def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None,
         kernel = partial(
             _tri_cluster_kernel, n_cl_blocks=n_cl_blocks,
             pad_cluster=sd.tri_cl.shape[0] - 1, recull=recull,
-            pair=os.environ.get("TPUPT_TRI_PAIR", "1") == "1", cqx=cqx,
-            gate=gate,
+            pair=pair, cqx=cqx, gate=gate,
         )
         pk_spec = full_spec
         scratch = [

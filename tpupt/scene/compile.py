@@ -305,7 +305,8 @@ def compile_scene(scene: "B.Scene", bvh: bool | None = None) -> CompiledScene:
         elif cl_box.shape[0] <= MAX_HBM_CLUSTERS:
             # tables too big for VMEM residency: keep them HBM-resident and let
             # the kernel DMA-stage clusters (ops/pallas_tri.py
-            # _tri_cluster_kernel_hbm). Lifts the ~128k-tri cap to ~512k; the
+            # _tri_cluster_kernel_hbm). Lifts the ~128k-tri cap to the
+            # 32768-cluster SMEM-queue bound (~2M tris); the
             # reference handles arbitrary mesh sizes via heap BVHs
             # (mesh.rs:149-197), this is the TPU equivalent.
             tri_cl, tri_pk, tri_pk2, tri_scl = cl_box, pk, pk2, sc_box

@@ -207,7 +207,8 @@ class SceneData:
     has_tri_clusters: bool = False  # triangle leg runs the Pallas cluster kernel
     # same kernel family with the packed tables resident in HBM and clusters
     # staged through a double-buffered VMEM scratch by async DMA — lifts the
-    # ~128k-triangle VMEM cap (ops/pallas_tri.py MAX_PACKED_BYTES) to ~512k
+    # ~128k-triangle VMEM cap (ops/pallas_tri.py MAX_PACKED_BYTES) to the
+    # 32768-cluster SMEM-queue bound, ~2M tris (MAX_HBM_CLUSTERS)
     has_tri_clusters_hbm: bool = False
 
     @property
