@@ -21,7 +21,10 @@ from tpupt.scenes import SCENES
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
 
-@pytest.mark.parametrize("sid", sorted(SCENES))
+@pytest.mark.parametrize(
+    "sid",
+    [pytest.param(s, marks=pytest.mark.slow) if s == 5 else s for s in sorted(SCENES)],
+)
 def test_golden_scene(sid):
     name, build = SCENES[sid]
     path = os.path.join(GOLDEN, f"scene{sid}_{name}_24px_8spp.npy")

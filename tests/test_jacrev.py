@@ -17,6 +17,10 @@ from tpupt.render.camera import Camera
 from tpupt.render.diff import init_params, make_pixel_fn
 from tpupt.scene.builder import Diffuse, Glass, Light, Principled, Scene
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute lane (pytest.ini)
+
 
 def test_jacrev_matches_row_vjps():
     s = Scene()

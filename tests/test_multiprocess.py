@@ -19,6 +19,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute lane (pytest.ini)
+
 _WORKER = r"""
 import os, sys
 import numpy as np

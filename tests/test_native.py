@@ -12,9 +12,9 @@ BUNNY = "/root/reference/assets/bunny.obj"
 SPOT = "/root/reference/assets/spot.obj"
 
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow] + [pytest.mark.skipif(
     not native.available(), reason=f"native build unavailable: {native.load_error()}"
-)
+)]
 
 
 @pytest.mark.parametrize("path", [BUNNY, SPOT])

@@ -29,6 +29,10 @@ from tpupt.core.dtypes import ORACLE_X64, REAL
 from tpupt.scenes import cornell_box_scene
 from tpupt.render.renderer import render_image
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute lane (pytest.ini)
+
 scene, cam = cornell_box_scene(%(width)d, %(spp)d)
 compiled = scene.compile()
 _, mean, _ = render_image(compiled, cam, rays_per_launch=1 << 14, progress=False)

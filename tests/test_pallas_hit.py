@@ -11,6 +11,10 @@ from tpupt.ops.intersect import closest_hit
 from tpupt.ops.pallas_hit import pallas_closest_sphere_quad
 from tpupt.scenes import cornell_box_scene
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute lane (pytest.ini)
+
 
 def _rays(b, seed, lo=0.0, hi=555.0):
     rng = np.random.default_rng(seed)

@@ -310,6 +310,8 @@ def test_hbm_routing_beyond_512k_tris():
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute lane (pytest.ini)
+
 
 @pytest.mark.parametrize(
     "flags",

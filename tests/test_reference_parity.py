@@ -25,6 +25,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute lane (pytest.ini)
+
 _SLOW = pytest.mark.skipif(
     not os.environ.get("TPUPT_SLOW"), reason="slow reference-parity render; set TPUPT_SLOW=1"
 )
