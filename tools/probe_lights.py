@@ -141,6 +141,36 @@ def e2e():
     scene.environment = (0.5, 0.6, 0.7)  # constant: no env gather at all
     run("constant color", scene, cam)
 
+    if os.environ.get("PROBE_NOTRIG", "") == "1":
+        # cost-attribution control (WRONG image): the u8 fast path with the
+        # direction->equirect trig (arccos + atan2) replaced by a linear fake,
+        # same single atlas gather — isolates transcendental cost from gather
+        # cost inside the real render loop.
+        import jax.numpy as jnp
+
+        from tpupt.core.dtypes import REAL
+        from tpupt.render import integrator as integ
+
+        real_env = integ.sample_environment
+
+        def fake_env(sd, direction):
+            if sd.env_map_w > 0:
+                u = direction[..., 0] * 0.5 + 0.5
+                v = direction[..., 1] * 0.5 + 0.5
+                w = REAL(sd.env_map_w)
+                h = REAL(sd.env_map_h)
+                i = jnp.minimum((u * w).astype(jnp.int32), sd.env_map_w - 1)
+                j = jnp.minimum((v * h).astype(jnp.int32), sd.env_map_h - 1)
+                return jnp.take(sd.atlas, sd.env_map_off + j * sd.env_map_w + i, axis=0)
+            return real_env(sd, direction)
+
+        integ.sample_environment = fake_env
+        try:
+            scene, cam = environment_map_scene(600, 100)
+            run("u8 NOTRIG (wrong image)", scene, cam)
+        finally:
+            integ.sample_environment = real_env
+
 
 if __name__ == "__main__":
     modes = sys.argv[1:] or ["parts", "e2e"]

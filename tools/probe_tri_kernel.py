@@ -6,7 +6,13 @@ Times pallas_closest_tri on scene 6's triangle table for two ray populations:
 - mixed: shell rays with best-t seeds tightened to a nearby-hit distribution
   (approximates mid-render traffic where most lanes already found geometry).
 
-Usage: /opt/venv/bin/python tools/probe_tri_kernel.py [hbm]
+Usage: /opt/venv/bin/python tools/probe_tri_kernel.py [hbm] [bigmesh]
+
+bigmesh swaps scene 6's 16.6k-tri table for the 318k-tri subdivided bunny
+(the bench bigmesh config) so the HBM kernel's phase costs can be isolated on
+the population the roofline blames (sqn~22 incoherent): combine with the
+TPUPT_TRI_STUB / TPUPT_TRI_NOMT substitutions to split preamble | phases 1-2 |
+phase 3+DMA.
 """
 import os
 import sys
@@ -25,8 +31,18 @@ from tpupt.ops.pallas_tri import pallas_closest_tri
 
 hbm = "hbm" in sys.argv[1:]
 
-scene, cam = everything_scene(64, 8)
-sd = scene.compile().data
+if "bigmesh" in sys.argv[1:]:
+    from tpupt.io.obj import load_obj, subdivide_mesh
+    from tpupt.scene.builder import Diffuse, Scene
+
+    scene = Scene()
+    mesh = subdivide_mesh(load_obj("/root/reference/assets/bunny.obj"), 3)
+    scene.add_mesh(mesh, Diffuse((0.7, 0.7, 0.7)), scale=20.0)
+    scene.environment = (1.0, 1.0, 1.0)
+    sd = scene.compile().data
+else:
+    scene, cam = everything_scene(64, 8)
+    sd = scene.compile().data
 print(f"# tris={sd.tri_v0.shape[0]} clusters={sd.tri_cl.shape[0]}", flush=True)
 
 B = 256 * 1024

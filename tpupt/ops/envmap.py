@@ -25,12 +25,69 @@ from ..core.dtypes import NP_REAL, REAL, NP_REAL
 PI = NP_REAL(jnp.pi)
 
 
+def _use_fast_trig() -> bool:
+    """Polynomial atan2/arccos for the equirect mapping. Default OFF.
+
+    Built for the round-5 envmap investigation: the NOTRIG probe control
+    (tools/probe_lights.py) suggested ~20 ns/ray of transcendental cost, but
+    the interleaved on-chip A/B (BASELINE.md round 5) measured the polynomial
+    variant WITHIN NOISE of libm — the apparent trig cost was chip drift, and
+    the env leg is bound by the gather's fusion break, not the VPU. Kept
+    behind TPUPT_FAST_TRIG=1 for future A/Bs on VPU-bound configs; max error
+    ~1.9e-6 rad flips ~0.018% of lookups to the adjacent texel (the same
+    boundary class where our f32 trig already deviates from the reference's
+    f64).
+    """
+    import os
+
+    return os.environ.get("TPUPT_FAST_TRIG", "0") == "1"
+
+
+def _fast_atan2(y, x):
+    """Minimax polynomial atan2 (f32, ~1e-6 rad max err), branch-free.
+
+    Octant reduction: a = min|.|/max|.| in [0,1], odd polynomial in a, then
+    quadrant fix-ups by select. Signed-zero/inf edge cases fall on measure-zero
+    direction sets and resolve to finite angles (no NaNs for unit directions).
+    """
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    a = lo / jnp.where(hi > 0.0, hi, 1.0)
+    s = a * a
+    # Estrin-friendly odd minimax on [0,1] (Cephes-class coefficients)
+    r = a * (
+        0.99997726
+        + s
+        * (
+            -0.33262347
+            + s * (0.19354346 + s * (-0.11643287 + s * (0.05265332 + s * -0.01172120)))
+        )
+    )
+    r = jnp.where(ay > ax, NP_REAL(0.5 * jnp.pi) - r, r)
+    r = jnp.where(x < 0.0, PI - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _fast_arccos(x):
+    """arccos via the fast atan2: acos(x) = atan2(sqrt(1-x^2), x)."""
+    return _fast_atan2(jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)), x)
+
+
+def _dir_to_theta_phi(direction):
+    """Direction [B,3] -> (theta, phi) of the equirect mapping (camera.rs:144-149)."""
+    y = jnp.clip(direction[..., 1], -1.0, 1.0)
+    if _use_fast_trig():
+        return _fast_arccos(y), _fast_atan2(direction[..., 2], direction[..., 0])
+    return jnp.arccos(y), jnp.arctan2(direction[..., 2], direction[..., 0])
+
+
 def _texel_from_dir(sd, direction):
     """Direction [B,3] -> (texel index [B], row j, col i) of the HDR env map."""
     w = sd.env_wh[0]
     h = sd.env_wh[1]
-    theta = jnp.arccos(jnp.clip(direction[..., 1], -1.0, 1.0))
-    phi = jnp.arctan2(direction[..., 2], direction[..., 0])
+    theta, phi = _dir_to_theta_phi(direction)
     u = (phi + PI) / (2.0 * PI)
     vv = theta / PI  # == 1 - v, the flipped row coordinate of the lookup
     i = jnp.clip(jnp.floor(u * w).astype(jnp.int32), 0, w - 1)
@@ -45,10 +102,27 @@ def sample_environment(sd, direction):
         return jnp.take(sd.env_img, texel, axis=0)
     if not sd.env_is_map:
         return jnp.broadcast_to(sd.env_color, direction.shape)
-    theta = jnp.arccos(jnp.clip(direction[..., 1], -1.0, 1.0))
-    phi = jnp.arctan2(direction[..., 2], direction[..., 0])
+    theta, phi = _dir_to_theta_phi(direction)
     u = (phi + PI) / (2.0 * PI)
     v = 1.0 - theta / PI
+    if sd.env_map_w > 0:
+        # static fast path (round 5): the env is one plain ImageTexture whose
+        # atlas coordinates are compile-time constants, so the lookup is ONE
+        # atlas row gather. IEEE-identical to the generic path below: the
+        # arithmetic is _image_lookup's (texture.rs:73-91 — u clamped, v
+        # flipped, truncating floor, last-texel clamp) with the same f32
+        # w/h values, only the texture-table indirection and checker resolve
+        # (a second row gather + selects — measured 59% of the lights render,
+        # tools/probe_lights.py) compiled out. Gathering from sd.atlas (the
+        # differentiable leaf) keeps env texel gradients flowing.
+        w = REAL(sd.env_map_w)
+        h = REAL(sd.env_map_h)
+        uu = jnp.clip(u, 0.0, 1.0)
+        vv = 1.0 - jnp.clip(v, 0.0, 1.0)
+        i = jnp.minimum(jnp.floor(uu * w).astype(jnp.int32), sd.env_map_w - 1)
+        j = jnp.minimum(jnp.floor(vv * h).astype(jnp.int32), sd.env_map_h - 1)
+        idx = sd.env_map_off + j * sd.env_map_w + i
+        return jnp.take(sd.atlas, idx, axis=0)
     return eval_texture(sd, jnp.broadcast_to(sd.env_tex, u.shape), u, v, direction)
 
 
@@ -56,12 +130,16 @@ def sample_env_light(sd, u1, u2):
     """Importance-sample a direction from the HDR env -> ([B] x,y,z component tuple).
 
     Alias-table draw: u1 picks the texel slot, u2 the accept/alias coin; the
-    direction is the texel center. O(1) per lane (two gathers), no CDF search.
+    direction is the texel center. O(1) per lane (ONE row gather of the packed
+    (prob, alias, pdf) table — TPU gathers cost ~5-8 ns/lane per OP regardless
+    of row width, so packing the two 1-D lookups into env_sam halves the cost;
+    tools/probe_gather.py round 5), no CDF search.
     """
-    n = sd.env_alias.shape[0]
+    n = sd.env_sam.shape[0]
     slot = jnp.minimum((u1 * n).astype(jnp.int32), n - 1)
-    prob = jnp.take(sd.env_prob, slot, axis=0)
-    alias = jnp.take(sd.env_alias, slot, axis=0)
+    row = jnp.take(sd.env_sam, slot, axis=0)
+    prob = row[..., 0]
+    alias = row[..., 1].astype(jnp.int32)  # f32-exact: n < 2^24 (compile assert)
     texel = jnp.where(u2 < prob, slot, alias)
 
     w = sd.env_wh[0]
@@ -75,9 +153,14 @@ def sample_env_light(sd, u1, u2):
 
 
 def pdf_env_light(sd, direction):
-    """Solid-angle pdf of sample_env_light for `direction` [B,3] -> [B]."""
+    """Solid-angle pdf of sample_env_light for `direction` [B,3] -> [B].
+
+    Reads the pdf column of the packed env_sam rows: a 3-wide row gather is
+    the same ~5 ns/lane as any gather op, and sharing the table with
+    sample_env_light keeps one copy hot (tools/probe_gather.py round 5).
+    """
     texel, _, _ = _texel_from_dir(sd, direction)
-    return jnp.take(sd.env_pdf, texel, axis=0)
+    return jnp.take(sd.env_sam, texel, axis=0)[..., 2]
 
 
 def build_env_tables(img: np.ndarray):

@@ -191,6 +191,8 @@ def compile_scene(scene: "B.Scene", bvh: bool | None = None) -> CompiledScene:
         )
         h, w = img.shape[:2]
         env_alias, env_prob, env_pdf = build_env_tables(img)
+        # env_sam packs alias indices as f32 rows — exact only below 2^24
+        assert env_alias.size < (1 << 24), "env map too large for f32-exact alias rows"
         env_img = img.reshape(-1, 3)
         env_wh = np.array([w, h], dtype=np.int32)
         env_is_hdr = True
@@ -461,12 +463,37 @@ def compile_scene(scene: "B.Scene", bvh: bool | None = None) -> CompiledScene:
         env_alias=jnp.asarray(env_alias),
         env_prob=jnp.asarray(env_prob),
         env_pdf=jnp.asarray(env_pdf),
+        # packed sampling rows (prob, alias, pdf): one gather per alias draw /
+        # pdf eval instead of three 1-D gathers (ops/envmap.py, round 5)
+        env_sam=jnp.asarray(
+            np.stack(
+                [env_prob, env_alias.astype(NP_REAL), env_pdf], axis=-1
+            ).astype(NP_REAL)
+        ),
         # static specialization facts (part of the jit cache key)
         has_normal_maps=bool((mat_normal_tex >= 0).any()),
         mat_types=tuple(sorted(set(int(t) for t in mat_type))),
         has_image_textures=bool((tex_type == D.TEX_IMAGE).any()) or env_tex_id >= 0,
         env_is_map=env_tex_id >= 0,
         env_is_hdr=env_is_hdr,
+        # static atlas coordinates of a plain-image env map -> sample_environment
+        # fuses the per-miss lookup into one atlas row gather (round 5; the
+        # generic eval_texture machinery measured 59% of the lights render)
+        env_map_off=(
+            int(tex_img[env_tex_id][0])
+            if env_tex_id >= 0 and int(tex_type[env_tex_id]) == D.TEX_IMAGE
+            else 0
+        ),
+        env_map_w=(
+            int(tex_img[env_tex_id][1])
+            if env_tex_id >= 0 and int(tex_type[env_tex_id]) == D.TEX_IMAGE
+            else 0
+        ),
+        env_map_h=(
+            int(tex_img[env_tex_id][2])
+            if env_tex_id >= 0 and int(tex_type[env_tex_id]) == D.TEX_IMAGE
+            else 0
+        ),
         n_lights_real=len(tables["lights"]),
         # fused Pallas sphere+quad closest-hit (ops/pallas_hit.py): +10% end-to-end
         # on the Cornell bench (79.7 vs 72.6 M rays/s); CPU keeps the XLA sweep

@@ -65,6 +65,9 @@ _STATIC_FIELDS = (
     "has_image_textures",
     "env_is_map",
     "env_is_hdr",
+    "env_map_off",
+    "env_map_w",
+    "env_map_h",
     "n_lights_real",
     "has_tri_bvh",
     "has_tri_mxu",
@@ -165,6 +168,14 @@ class SceneData:
     env_alias: jnp.ndarray  # [Hw*Ww] int32 alias targets
     env_prob: jnp.ndarray  # [Hw*Ww] f32 alias acceptance probabilities
     env_pdf: jnp.ndarray  # [Hw*Ww] f32 solid-angle pdf per texel
+    # the three alias-table columns above PACKED as one [Hw*Ww,3] row table
+    # (prob, alias-as-f32, pdf): a TPU gather op costs ~5-8 ns/lane regardless
+    # of row width up to >=3 (tools/probe_gather.py, round 5), so the sampling
+    # path's three separate 1-D gathers collapse into row lookups — one for
+    # sample_env_light, one for pdf_env_light. alias fits f32 exactly (indices
+    # < 2^24, asserted at compile). Not a differentiable leaf (sampling tables
+    # are detached in the backward pass by construction).
+    env_sam: jnp.ndarray  # [Hw*Ww,3] f32 (prob, alias, pdf)
 
     # triangle BVH (ops/bvh.py): DFS pre-order nodes with escape indices; the
     # triangle tables above are Morton-reordered when has_tri_bvh is set.
@@ -200,6 +211,15 @@ class SceneData:
     has_image_textures: bool = False
     env_is_map: bool = False
     env_is_hdr: bool = False  # f32 HDR env + importance sampling enabled
+    # static atlas coordinates of the env image when it is a plain ImageTexture:
+    # lets sample_environment fuse the per-miss lookup into ONE atlas row gather
+    # instead of the generic eval_texture machinery (texture-table row gather +
+    # checker resolve + image gather — measured 59% of the lights-scene render,
+    # tools/probe_lights.py round 5). env_map_w == 0 means "use the generic
+    # path" (constant color, or a non-image env texture).
+    env_map_off: int = 0
+    env_map_w: int = 0
+    env_map_h: int = 0
     n_lights_real: int = 0  # geometry lights (light table may hold one pad row)
     has_tri_bvh: bool = False  # triangle table is SAH-ordered with BVH nodes
     has_tri_mxu: bool = False  # triangle sweep runs as MXU matmuls
