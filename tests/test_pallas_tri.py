@@ -359,3 +359,45 @@ def test_flag_matrix_matches_default(flags, monkeypatch):
     np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_d))
     for k in aux_f:
         np.testing.assert_array_equal(np.asarray(aux_f[k]), np.asarray(aux_d[k]))
+
+
+def test_hbm_kernel_sc16_matches_sweep(monkeypatch):
+    """Round 5: HBM scenes re-pack with 16-cluster superclusters (TPUPT_SC_HBM
+    — the phase-2 scalar compact walks sc_size serial iterations per hit
+    supercluster, 67% of the sc=64 kernel's worst-case row cost). The sc=16
+    packing + kernel must stay hit-for-hit equal to the dense sweep."""
+    import tpupt.ops.pallas_tri as ptri
+
+    monkeypatch.setattr(ptri, "MAX_PACKED_BYTES", 0)  # force the HBM route
+    monkeypatch.setenv("TPUPT_SC_HBM", "16")
+    sd = _bunny_sd()
+    # the CPU backend compiles with the cluster flags off; the re-pack and
+    # tri_sc_size routing still ran (MAX_PACKED_BYTES=0 forces the HBM branch)
+    assert sd.tri_sc_size == 16
+    sd_sw = dataclasses.replace(
+        sd, has_tri_bvh=False, has_tri_clusters=False, has_tri_clusters_hbm=False
+    )
+    sd_cl = dataclasses.replace(
+        sd, has_tri_bvh=False, has_tri_clusters=False, has_tri_clusters_hbm=True
+    )
+
+    rng = np.random.default_rng(23)
+    b = 2048
+    o = rng.normal(size=(b, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=1, keepdims=True) * 8.0
+    d = rng.normal(size=(b, 3)).astype(np.float32) * 1.5 - o
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    time = jnp.zeros((b,), jnp.float32)
+    tmin, tmax = jnp.float32(1e-3), jnp.float32(3e38)
+
+    h_cl = jax.jit(lambda: closest_hit(sd_cl, o, d, time, tmin, tmax))()
+    h_sw = jax.jit(lambda: closest_hit(sd_sw, o, d, time, tmin, tmax))()
+
+    np.testing.assert_array_equal(np.asarray(h_cl.valid), np.asarray(h_sw.valid))
+    hv = np.asarray(h_sw.valid)
+    assert hv.mean() > 0.1
+    np.testing.assert_allclose(
+        np.asarray(h_cl.t)[hv], np.asarray(h_sw.t)[hv], rtol=1e-5, atol=1e-5
+    )
+    assert (np.asarray(h_cl.mat_id) == np.asarray(h_sw.mat_id)).all()

@@ -5,7 +5,7 @@ render/integrator.py). Discriminates the two scene-6 levers: if occupancy is
 already high, the kernel's per-row union cost is the ceiling; if low, the
 compaction ladder needs work.
 
-Usage: /opt/venv/bin/python tools/probe_occupancy.py [scene6|cornell]
+Usage: /opt/venv/bin/python tools/probe_occupancy.py [scene6|cornell|bigmesh|lights]
 """
 import os
 import sys
@@ -26,10 +26,31 @@ from tpupt.render.renderer import _morton_pixel_order
 name = sys.argv[1] if len(sys.argv) > 1 else "scene6"
 if name == "scene6":
     from tpupt.scenes import everything_scene as make
+elif name == "lights":
+    from tpupt.scenes import environment_map_scene as make
+elif name == "bigmesh":
+    def make(w, spp):
+        from tpupt.io.obj import load_obj, subdivide_mesh
+        from tpupt.render.camera import Camera
+        from tpupt.scene.builder import Diffuse, Scene
+
+        s = Scene()
+        mesh = subdivide_mesh(load_obj("/root/reference/assets/bunny.obj"), 3)
+        s.add_mesh(mesh, Diffuse((0.7, 0.7, 0.7)), scale=20.0)
+        s.environment = (1.0, 1.0, 1.0)
+        cam = Camera(
+            aspect_ratio=1.0, image_width=w, samples_per_pixel=spp,
+            max_depth=50, vfov=35.0, look_from=(0.0, 1.0, 6.0),
+            look_at=(0.0, 1.0, 0.0), blur_strength=0.5, focal_length=5.0,
+            defocus_angle=0.0,
+        )
+        return s, cam
 else:
     from tpupt.scenes import cornell_box_scene as make
 
-W, SPP = 600, 100
+W, SPP = 600, int(os.environ.get("PROBE_SPP", "100"))
+if name == "bigmesh":
+    SPP = min(SPP, 25)
 scene, camera = make(W, SPP)
 compiled = scene.compile()
 sd = compiled.data

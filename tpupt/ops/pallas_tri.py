@@ -63,7 +63,7 @@ HAS_UV_FLAG = float(1 << 20)  # added to the mat field when the triangle has UVs
 
 def pack_clusters(tri_v0, tri_e1, tri_e2, clusters, tri_n0=None, tri_n1=None,
                   tri_n2=None, tri_uv0=None, tri_uv1=None, tri_uv2=None,
-                  tri_has_uv=None, tri_mat=None):
+                  tri_has_uv=None, tri_mat=None, sc_size=SUPER_CLUSTERS):
     """Pack SAH clusters into the kernel's VMEM layout.
 
     Inputs are the triangle tables already in SAH DFS order. Returns
@@ -78,12 +78,15 @@ def pack_clusters(tri_v0, tri_e1, tri_e2, clusters, tri_n0=None, tri_n1=None,
     XLA per-lane gathers measured ~microseconds/lane on TPU):
     n0(3), n1(3), n2(3), uv0(2), uv1(2), uv2(2), mat + HAS_UV_FLAG.
     """
+    assert sc_size % 8 == 0 and sc_size >= 8, "supercluster = whole cull blocks"
     c_real = clusters["start"].shape[0]
     # pad cluster count to a full supercluster so phase-1 block loops never run
-    # off the table (64 clusters = 8 cull blocks per supercluster). The +1
-    # guarantees at least one pad cluster exists: the HBM kernel uses the last
-    # cluster as a degenerate queue-padding target (zero edges, far box).
-    cp = max(SUPER_CLUSTERS, ((c_real + 1 + SUPER_CLUSTERS - 1) // SUPER_CLUSTERS) * SUPER_CLUSTERS)
+    # off the table (sc_size clusters = sc_size/8 cull blocks per supercluster;
+    # 64 for VMEM scenes, smaller for HBM scenes — round-5 A/B, the in-kernel
+    # phase-2 scalar compact walks sc_size iterations per hit supercluster).
+    # The +1 guarantees at least one pad cluster exists: the HBM kernel uses
+    # the last cluster as a degenerate queue-padding target (zero edges, far box).
+    cp = max(sc_size, ((c_real + 1 + sc_size - 1) // sc_size) * sc_size)
 
     cl_box = np.full((cp, 8), 0.0, dtype=np.float32)
     cl_box[:, 0:3] = 1e30  # pad rows: point box far away
@@ -91,16 +94,16 @@ def pack_clusters(tri_v0, tri_e1, tri_e2, clusters, tri_n0=None, tri_n1=None,
     cl_box[:c_real, 0:3] = clusters["bmin"]
     cl_box[:c_real, 3:6] = clusters["bmax"]
 
-    # supercluster level: unions of 64 consecutive clusters (8 cull blocks) —
-    # the kernel's phase 0 culls these first so coherent rows skip whole swaths
+    # supercluster level: unions of sc_size consecutive clusters — the
+    # kernel's phase 0 culls these first so coherent rows skip whole swaths
     # of the per-cluster cull + compaction (its fixed cost dominated v2)
-    n_sc = (cp + SUPER_CLUSTERS - 1) // SUPER_CLUSTERS
+    n_sc = (cp + sc_size - 1) // sc_size
     scp = max(8, ((n_sc + 7) // 8) * 8)
     sc_box = np.full((scp, 8), 0.0, dtype=np.float32)
     sc_box[:, 0:3] = 1e30
     sc_box[:, 3:6] = 1e30
     for s in range(n_sc):
-        lo_r, hi_r = s * SUPER_CLUSTERS, min((s + 1) * SUPER_CLUSTERS, c_real)
+        lo_r, hi_r = s * sc_size, min((s + 1) * sc_size, c_real)
         if lo_r >= hi_r:
             continue
         sc_box[s, 0:3] = clusters["bmin"][lo_r:hi_r].min(0)
@@ -278,7 +281,7 @@ def _tri_cluster_kernel(tmin_ref, scq_ref, scn_ref, kq_ref, cl_ref, pk_ref, pk2_
                         ox, oy, oz, dx, dy, dz,
                         tin, t_out, id_out, nx_out, ny_out, nz_out, uu_out, vv_out, mat_out,
                         vword, squeue, *, n_cl_blocks, pad_cluster, recull, pair, cqx,
-                        gate):
+                        gate, sc_blocks=SUPER_CLUSTERS // 8):
     """Branch-free phases per 128-ray row (measured: per-cluster lax.cond +
     scalar readback cost ~65 cycles each and dominated v1 — see BASELINE.md):
 
@@ -368,9 +371,9 @@ def _tri_cluster_kernel(tmin_ref, scq_ref, scn_ref, kq_ref, cl_ref, pk_ref, pk2_
 
             # ---- phase 1: cull the hit superclusters' cluster blocks ----
             def cull_body(i, _):
-                s = scq_ref[rr, i]  # supercluster -> cluster blocks [s*8, s*8+8)
-                for j in range(8):
-                    cb = s * 8 + j
+                s = scq_ref[rr, i]  # supercluster -> its sc_blocks cull blocks
+                for j in range(sc_blocks):
+                    cb = s * sc_blocks + j
                     vword[pl.ds(cb, 1), 0:1] = slab_word(cl_ref, cb)
                 return 0
 
@@ -379,8 +382,8 @@ def _tri_cluster_kernel(tmin_ref, scq_ref, scn_ref, kq_ref, cl_ref, pk_ref, pk2_
             # ---- phase 2: branchless compaction into the SMEM cluster queue ----
             def compact_body(i, qn):
                 s = scq_ref[rr, i]
-                for j in range(8):
-                    cb = s * 8 + j
+                for j in range(sc_blocks):
+                    cb = s * sc_blocks + j
                     word = vword[cb, 0]
                     for k in range(8):
                         squeue[qn] = cb * 8 + k
@@ -609,7 +612,8 @@ MAX_HBM_CLUSTERS = 32768
 def _tri_cluster_kernel_hbm(
     tmin_ref, scq_ref, scn_ref, kq_ref, cl_ref, pk_hbm, pk2_hbm, ox, oy, oz, dx, dy, dz,
     tin, t_out, id_out, nx_out, ny_out, nz_out, uu_out, vv_out, mat_out,
-    vword, squeue, dbuf, dsem, *, n_cl_blocks, pad_cluster,
+    vword, squeue, dbuf, dsem, *, n_cl_blocks, pad_cluster, nop3=False,
+    sc_blocks=SUPER_CLUSTERS // 8, n_slots=2,
 ):
     """The cluster packet kernel with pk/pk2 resident in HBM.
 
@@ -669,8 +673,8 @@ def _tri_cluster_kernel_hbm(
 
         def cull_body(i, _):
             s = scq_ref[rr, i]
-            for j in range(8):
-                cb = s * 8 + j
+            for j in range(sc_blocks):
+                cb = s * sc_blocks + j
                 vword[pl.ds(cb, 1), 0:1] = slab_word(cl_ref, cb)
             return 0
 
@@ -678,8 +682,8 @@ def _tri_cluster_kernel_hbm(
 
         def compact_body(i, qn):
             s = scq_ref[rr, i]
-            for j in range(8):
-                cb = s * 8 + j
+            for j in range(sc_blocks):
+                cb = s * sc_blocks + j
                 word = vword[cb, 0]
                 for k in range(8):
                     squeue[qn] = cb * 8 + k
@@ -688,9 +692,13 @@ def _tri_cluster_kernel_hbm(
 
         qn = lax.fori_loop(0, sqn, compact_body, jnp.int32(0))
 
-        # pad an odd queue so the pair loop below is unconditional
-        squeue[qn] = pad_cluster
-        qn2 = qn + (qn & 1)
+        # pad the queue to a multiple of n_slots so the slot loop below is
+        # unconditional (pad entries target the degenerate pad cluster)
+        for _pj in range(n_slots - 1):
+            squeue[qn + _pj] = pad_cluster
+        qn2 = ((qn + (n_slots - 1)) // n_slots) * n_slots
+        if nop3:  # probe-only (TPUPT_TRI_NOP3): preamble + phases 1-2 cost
+            qn2 = jnp.int32(0)
 
         # ---- phase 3: paired double-buffered DMA + Möller–Trumbore ----
         def start_dma(slot, qi):
@@ -719,13 +727,10 @@ def _tri_cluster_kernel_hbm(
                 dsem.at[slot, 1],
             ).wait()
 
-        @pl.when(qn2 > 0)
-        def _():
-            start_dma(0, 0)
-
-        @pl.when(qn2 > 1)
-        def _():
-            start_dma(1, 1)
+        for _sl in range(n_slots):
+            @pl.when(qn2 > _sl)
+            def _(_sl=_sl):
+                start_dma(_sl, _sl)
 
         def mt_slot(best_t, slot, o_x=o_x, o_y=o_y, o_z=o_z, d_x=d_x, d_y=d_y, d_z=d_z):
             """Phase A (MT) over the staged cluster in `slot` -> candidates."""
@@ -820,35 +825,31 @@ def _tri_cluster_kernel_hbm(
 
             return lax.cond(jnp.any(cand_id < BIG_IDF), phase_b, lambda b: b, best)
 
-        def pair_body(j, best):
-            """Serial per slot, DMA for slot s+2 issued as soon as slot s is
-            consumed. A round-4 variant that interleaved both slots'
-            independent phase-A chains (the VMEM kernel's tri_pair_body win,
-            +5%) was A/B'd on chip and REJECTED here: 3.19M vs 3.58M rays/s on
-            the 318k-tri bigmesh — delaying the next DMA until after both
-            phase Bs costs more overlap than the ILP recovers when the staging
-            is HBM-latency-bound."""
-            i0 = 2 * j
-            wait_dma(0, i0)
-            best = apply_phase_b(best, 0, mt_slot(best[0], 0))
+        def slot_body(j, best):
+            """Serial per slot, DMA for entry i+n_slots issued as soon as slot
+            s is consumed — an n_slots-deep prefetch ring. A round-4 variant
+            that interleaved two slots' independent phase-A chains (the VMEM
+            kernel's tri_pair_body win, +5%) was A/B'd on chip and REJECTED
+            here: 3.19M vs 3.58M rays/s on the 318k-tri bigmesh — delaying the
+            next DMA until after both phase Bs costs more overlap than the ILP
+            recovers when the staging is HBM-latency-bound. Deeper rings
+            (TPUPT_HBM_SLOTS=4) attack the same latency from the issue side:
+            more copies in flight while each slot is consumed serially."""
+            i0 = n_slots * j
+            for _sl in range(n_slots):
+                wait_dma(_sl, i0 + _sl)
+                best = apply_phase_b(best, _sl, mt_slot(best[0], _sl))
 
-            @pl.when(i0 + 2 < qn2)
-            def _():
-                start_dma(0, i0 + 2)
-
-            wait_dma(1, i0 + 1)
-            best = apply_phase_b(best, 1, mt_slot(best[0], 1))
-
-            @pl.when(i0 + 3 < qn2)
-            def _():
-                start_dma(1, i0 + 3)
+                @pl.when(i0 + _sl + n_slots < qn2)
+                def _(_sl=_sl):
+                    start_dma(_sl, i0 + _sl + n_slots)
 
             return best
 
         zrow = jnp.zeros((1, LANES), jnp.float32)
         init = (t_seed, jnp.full((1, LANES), BIG_IDF, jnp.float32),
                 zrow, zrow, zrow, zrow, zrow, zrow)
-        best = lax.fori_loop(0, qn2 // 2, pair_body, init)
+        best = lax.fori_loop(0, qn2 // n_slots, slot_body, init)
         found = best[1] < BIG_IDF
         t_out[rr : rr + 1, :] = jnp.where(found, best[0], BIG)
         id_out[rr : rr + 1, :] = jnp.where(found, best[1], 0.0).astype(jnp.int32)
@@ -964,22 +965,25 @@ def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None,
     i32_out = jax.ShapeDtypeStruct((bp // LANES, LANES), jnp.int32)
 
     if hbm:
+        n_slots = int(os.environ.get("TPUPT_HBM_SLOTS", "2"))
         kernel = partial(
             _tri_cluster_kernel_hbm, n_cl_blocks=n_cl_blocks,
             pad_cluster=sd.tri_cl.shape[0] - 1,
+            nop3=os.environ.get("TPUPT_TRI_NOP3", "") == "1",
+            sc_blocks=sd.tri_sc_size // 8, n_slots=n_slots,
         )
         pk_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
         scratch = [
             pltpu.VMEM((max(8, n_cl_blocks), LANES), jnp.int32),  # packed cull words
             pltpu.SMEM((max(64, n_cl_blocks * 8 + 8),), jnp.int32),  # cluster queue
-            pltpu.VMEM((32, LANES), jnp.float32),  # 2 slots x (pk 8 + pk2 8) rows
-            pltpu.SemaphoreType.DMA((2, 2)),  # [slot, pk/pk2]
+            pltpu.VMEM((16 * n_slots, LANES), jnp.float32),  # slots x (pk 8 + pk2 8)
+            pltpu.SemaphoreType.DMA((n_slots, 2)),  # [slot, pk/pk2]
         ]
     else:
         kernel = partial(
             _tri_cluster_kernel, n_cl_blocks=n_cl_blocks,
             pad_cluster=sd.tri_cl.shape[0] - 1, recull=recull,
-            pair=pair, cqx=cqx, gate=gate,
+            pair=pair, cqx=cqx, gate=gate, sc_blocks=sd.tri_sc_size // 8,
         )
         pk_spec = full_spec
         scratch = [

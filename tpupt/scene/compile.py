@@ -9,6 +9,8 @@ appended *after* object geometry so closest-hit ties resolve to objects exactly 
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from . import builder as B
@@ -288,6 +290,7 @@ def compile_scene(scene: "B.Scene", bvh: bool | None = None) -> CompiledScene:
         )
 
         order, nodes, clusters = build_tri_bvh_sah(tri_v0, tri_e1, tri_e2)
+        tri_sc_size = 64
         tri_perm = order  # new_index_of_old: inverse permutation, built below
         (tri_v0, tri_e1, tri_e2, tri_n0, tri_n1, tri_n2,
          tri_uv0, tri_uv1, tri_uv2, tri_has_uv, tri_mat) = (
@@ -305,6 +308,18 @@ def compile_scene(scene: "B.Scene", bvh: bool | None = None) -> CompiledScene:
         if pk.nbytes + pk2.nbytes <= MAX_PACKED_BYTES:
             tri_cl, tri_pk, tri_pk2, tri_scl = cl_box, pk, pk2, sc_box
         elif cl_box.shape[0] <= MAX_HBM_CLUSTERS:
+            # HBM routing: re-pack with the HBM supercluster grouping
+            # (TPUPT_SC_HBM, default 16 after the round-5 on-chip A/B — the
+            # phase-2 scalar compact walks sc_size iterations per hit
+            # supercluster and dominated the sc=64 kernel at 67%)
+            sc_hbm = int(os.environ.get("TPUPT_SC_HBM", "16"))
+            if sc_hbm != tri_sc_size:
+                cl_box, pk, pk2, sc_box = pack_clusters(
+                    tri_v0, tri_e1, tri_e2, clusters, tri_n0, tri_n1, tri_n2,
+                    tri_uv0, tri_uv1, tri_uv2, tri_has_uv, tri_mat,
+                    sc_size=sc_hbm,
+                )
+                tri_sc_size = sc_hbm
             # tables too big for VMEM residency: keep them HBM-resident and let
             # the kernel DMA-stage clusters (ops/pallas_tri.py
             # _tri_cluster_kernel_hbm). Lifts the ~128k-tri cap to the
@@ -317,6 +332,7 @@ def compile_scene(scene: "B.Scene", bvh: bool | None = None) -> CompiledScene:
         else:  # beyond the SMEM queue bound: fall back to the sweep
             use_clusters = False
     else:
+        tri_sc_size = 64
         bvh_min = np.zeros((1, 3), dtype=f32)
         bvh_max = np.zeros((1, 3), dtype=f32)
         bvh_skip = np.ones(1, dtype=np.int32)
@@ -503,6 +519,7 @@ def compile_scene(scene: "B.Scene", bvh: bool | None = None) -> CompiledScene:
         has_tri_mxu=use_mxu,
         has_tri_clusters=use_clusters,
         has_tri_clusters_hbm=use_hbm_clusters,
+        tri_sc_size=tri_sc_size,
         tri_cl=jnp.asarray(tri_cl),
         tri_pk=jnp.asarray(tri_pk),
         tri_pk2=jnp.asarray(tri_pk2),

@@ -74,6 +74,7 @@ _STATIC_FIELDS = (
     "use_pallas_hit",
     "has_tri_clusters",
     "has_tri_clusters_hbm",
+    "tri_sc_size",
 )
 
 
@@ -194,7 +195,7 @@ class SceneData:
     tri_cl: jnp.ndarray  # [Cp, 8] f32, Cp multiple of 64
     tri_pk: jnp.ndarray  # [Cp*8, 128] f32 geometry (v0, e1, e2, id per slot)
     tri_pk2: jnp.ndarray  # [Cp*8, 128] f32 shading attrs (n0..n2, uv0..2, mat)
-    tri_scl: jnp.ndarray  # [Sp, 8] f32 supercluster AABBs (64 clusters each)
+    tri_scl: jnp.ndarray  # [Sp, 8] f32 supercluster AABBs (tri_sc_size clusters each)
 
     # MXU intersection path (ops/intersect.py _tri_block_mxu): per-triangle
     # coefficient rows of the Möller–Trumbore linear functionals over the ray
@@ -230,6 +231,12 @@ class SceneData:
     # ~128k-triangle VMEM cap (ops/pallas_tri.py MAX_PACKED_BYTES) to the
     # 32768-cluster SMEM-queue bound, ~2M tris (MAX_HBM_CLUSTERS)
     has_tri_clusters_hbm: bool = False
+    # clusters per supercluster in the packed tables (ops/pallas_tri.py
+    # pack_clusters sc_size): 64 for VMEM scenes; HBM scenes use a smaller
+    # grouping (round-5 A/B) because the in-kernel phase-2 scalar compact
+    # walks sc_size serial iterations per HIT supercluster — 67% of the HBM
+    # kernel's worst-case row cost at sc=64 (BASELINE.md round 5)
+    tri_sc_size: int = 64
 
     @property
     def n_spheres(self):
