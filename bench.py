@@ -74,6 +74,8 @@ REF_RAYS_PER_S = {
 # pipeline (wavefront occupancy included) sits from the kernel-work ceiling.
 SOL_RAYS_PER_S = {
     "cornell_rays_per_s_per_chip": 1.5e9,
+    # fwd+bwd: cornell bounce ops x ~4 (remat replay + VJP) — tools/roofline.py grads
+    "grads_rays_per_s_per_chip": 3.85e8,
     "lights_rays_per_s_per_chip": 1.9e9,
     "lights_hdr_is_rays_per_s_per_chip": 1.9e9,
     "scene6_rays_per_s_per_chip": 6.44e7,

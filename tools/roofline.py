@@ -25,7 +25,16 @@ one (8,128) vector instruction = 1024 lane-ops):
   that produced at least one MT candidate (the lax.cond gate);
 - recull gate: qn/8 chunks x ~30 tile ops.
 
-Usage: /opt/venv/bin/python tools/roofline.py [scene6|bigmesh] [--rays N]
+The `grads` mode (VERDICT round-4 item 1) is analytic instead of replayed:
+the backward config is Cornell (no triangle kernel), so its work model is the
+prim-scene bounce (~2.5k lane-ops/ray: 1360 padded prim-block ops + ~1.1k
+shade/MIS/RNG — BASELINE.md round 4) times the fwd+bwd multiplier of the
+checkpointed scan: 1x forward + ~1x remat replay + ~2x VJP arithmetic = ~4x,
+=> ~10k lane-ops per counted ray (the ray counter counts FORWARD
+intersections only; the backward replays each under rematerialization).
+VPU SOL = 3.85e12 / 10k = ~385M rays/s — the bench's sol_pct denominator.
+
+Usage: /opt/venv/bin/python tools/roofline.py [scene6|bigmesh|grads] [--rays N]
 """
 import os
 import sys
@@ -87,7 +96,7 @@ def analyze(sd, o, d, t_seed, tmin=1e-3):
     sc_hit, _ = slab_rows(sc_boxes, o, d, ts, tmin)  # (R, S)
     cl_hit, _ = slab_rows(cl_boxes, o, d, ts, tmin)  # (R, C)
     # clusters only enter the queue if their supercluster was hit
-    sc_of_cl = np.arange(cl_boxes.shape[0]) // 64
+    sc_of_cl = np.arange(cl_boxes.shape[0]) // int(getattr(sd, "tri_sc_size", 64))
     queued = cl_hit & sc_hit[:, sc_of_cl]
 
     sqn = sc_hit.sum(axis=1)  # (R,)
@@ -156,8 +165,20 @@ def _mt_any(v0, e1, e2, o, d, t_seed, tmin):
     return bool(ok.any())
 
 
+GRADS_FWD_OPS = 2.5e3  # cornell bounce lane-ops/ray (BASELINE.md round-4 table)
+GRADS_BWD_MULT = 4.0  # fwd + remat replay + ~2x VJP arithmetic
+
+
 def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "scene6"
+    if name == "grads":
+        ops = GRADS_FWD_OPS * GRADS_BWD_MULT
+        sol = VPU_OPS / ops
+        print(
+            f"grads (cornell depth-50 fwd+bwd, analytic): ops/ray={ops:.0f} "
+            f"SOL={sol/1e6:.1f}M rays/s", flush=True,
+        )
+        return
     if name == "scene6":
         from tpupt.scenes import everything_scene
 
