@@ -174,3 +174,33 @@ def test_baked_instance_matches_reference_transform():
     c, si = np.cos(0.5), np.sin(0.5)
     expect = np.asarray([si * 1.0 + 1.0, 0.0, c * 1.0 + 2.0])
     np.testing.assert_allclose(np.asarray(sd.quad_q[0]), expect, atol=1e-5)
+
+
+def test_sphere_transform_instance():
+    """Round 5 (VERDICT round-4 stretch): add_sphere accepts a Transform like
+    every other geometry entry (instance.rs:20-30 wraps ANY Hittable). A
+    rotate+translate instance of a sphere must render identically to the
+    sphere placed at the transformed center directly."""
+    import numpy as np
+
+    from tpupt.render.camera import Camera
+    from tpupt.render.renderer import render_image
+    from tpupt.scene.builder import Diffuse, Scene, Transform
+
+    tr = Transform(axis=(0.0, 0.0, 1.0), angle=1.1, translation=(0.5, -0.2, -1.0))
+    c = np.array([0.6, 0.4, -3.0])
+    c_moved = tr.apply_point(c)
+
+    def render(center, transform=None):
+        s = Scene()
+        s.add_sphere(0.8, tuple(center), Diffuse((0.6, 0.5, 0.4)), transform=transform)
+        s.environment = (0.7, 0.8, 1.0)
+        cam = Camera(
+            aspect_ratio=1.0, image_width=16, samples_per_pixel=4, max_depth=4,
+            vfov=40.0, look_from=(0, 0, 1), look_at=(0, 0, -1),
+            blur_strength=0.5, focal_length=3.0, defocus_angle=0.0,
+        )
+        _, mean, _ = render_image(s.compile(), cam, progress=False)
+        return np.asarray(mean)
+
+    np.testing.assert_array_equal(render(c, transform=tr), render(c_moved))

@@ -223,9 +223,20 @@ class Scene:
         self.environment: Union[tuple, ImageTexture] = (0.0, 0.0, 0.0)
 
     # -- spheres ------------------------------------------------------------
-    def add_sphere(self, radius, center, material, center2=None, light=False):
+    def add_sphere(
+        self, radius, center, material, center2=None, light=False,
+        transform: Optional[Transform] = None,
+    ):
+        """Sphere, optionally instanced (instance.rs:20-30 wraps ANY Hittable,
+        spheres included; no reference scene uses it on a sphere — main.rs
+        instances only meshes/cuboids — but the capability is part of the
+        Instance contract). A rotate+translate maps a sphere to a sphere:
+        both centers go through the transform, the radius is invariant."""
         c1 = np.asarray(center, dtype=np.float64)
         c2 = c1 if center2 is None else np.asarray(center2, dtype=np.float64)
+        if transform is not None:
+            c1 = transform.apply_point(c1)
+            c2 = transform.apply_point(c2)
         rec = SphereRec(c1, c2, max(float(radius), 0.0), material)
         (self.lights if light else self.objects).append(rec)
 
