@@ -70,25 +70,38 @@ def _types(sh: Shade):
 
 def make_shade(sd: "D.SceneData", mat_id, u, v, point, ng, ns, front) -> Shade:
     mat_types = sd.mat_types if sd.mat_types else _ALL_TYPES
-    # one fused row gather: [type, tex, rough_tex] + params
+    needs_rough = (D.MAT_METAL in mat_types) or (D.MAT_GLASS in mat_types)
+    fold_rough = needs_rough and sd.rough_all_solid
+    # one fused row gather: [type, tex, rough] + params. When every roughness
+    # texture in the scene is SOLID (rough_all_solid — true for all reference
+    # scenes), the roughness VALUE rides the material row directly: the [M]-row
+    # tex_rgb pre-gather below is ~45 elements (free) and replaces the whole
+    # per-lane eval_scalar_texture machinery (2 more B-lane gathers + image
+    # select). Values are identical (solid eval returns the tex_rgb row) and
+    # the gradient path to the tex_rgb leaf is the same linear map.
+    if fold_rough:
+        rough_col = jnp.take(
+            sd.tex_rgb, jnp.maximum(sd.mat_rough_tex, 0), axis=0
+        )[:, 0]
+    else:
+        rough_col = sd.mat_rough_tex.astype(REAL)
     head = jnp.stack(
-        [sd.mat_type.astype(REAL), sd.mat_tex.astype(REAL),
-         sd.mat_rough_tex.astype(REAL)],
+        [sd.mat_type.astype(REAL), sd.mat_tex.astype(REAL), rough_col],
         axis=1,
     )
     rows = take_rows(jnp.concatenate([head, sd.mat_params], axis=1), mat_id)
     mtype = rows[..., 0].astype(jnp.int32)
     tex_id = rows[..., 1].astype(jnp.int32)
-    rough_tex = rows[..., 2].astype(jnp.int32)
     params = rows[..., 3:]
 
     base_color = eval_texture(sd, tex_id, u, v, point)
-    needs_rough = (D.MAT_METAL in mat_types) or (D.MAT_GLASS in mat_types)
-    roughness = (
-        eval_scalar_texture(sd, rough_tex, u, v, point)
-        if needs_rough
-        else jnp.zeros_like(u)
-    )
+    if fold_rough:
+        roughness = rows[..., 2]
+    elif needs_rough:
+        rough_tex = rows[..., 2].astype(jnp.int32)
+        roughness = eval_scalar_texture(sd, rough_tex, u, v, point)
+    else:
+        roughness = jnp.zeros_like(u)
     if D.MAT_LIGHT in mat_types:
         is_light = mtype == D.MAT_LIGHT
         # emission = the material texture evaluated as color (material.rs:184-186)

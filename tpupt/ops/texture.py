@@ -55,23 +55,31 @@ def eval_texture(sd: "D.SceneData", tid, u, v, point):
     """
     tid = jnp.maximum(tid, 0)
     rows = _tex_rows(sd, tid)
-    ttype = rows[..., 0].astype(jnp.int32)
 
-    # resolve checker -> child (texture.rs:44-53). Parity test matches Rust's
-    # `(x+y+z) % 2 == 0`: for odd sums Rust yields +-1 and jnp yields 1 — both != 0.
-    inv_scale = rows[..., 4]
-    px, py, pz = point[..., 0], point[..., 1], point[..., 2]
-    cell = (
-        jnp.floor(px * inv_scale).astype(jnp.int32)
-        + jnp.floor(py * inv_scale).astype(jnp.int32)
-        + jnp.floor(pz * inv_scale).astype(jnp.int32)
-    )
-    parity_even = (cell % 2) == 0
-    child = jnp.where(parity_even, rows[..., 5], rows[..., 6]).astype(jnp.int32)
-    is_checker = ttype == D.TEX_CHECKER
-    rid = jnp.where(is_checker, jnp.maximum(child, 0), tid)
+    if sd.has_checker:
+        ttype = rows[..., 0].astype(jnp.int32)
+        # resolve checker -> child (texture.rs:44-53). Parity test matches
+        # Rust's `(x+y+z) % 2 == 0`: for odd sums Rust yields +-1 and jnp
+        # yields 1 — both != 0. Checker-free scenes compile this block (a
+        # second row gather + cell math) out entirely (round 5).
+        inv_scale = rows[..., 4]
+        px, py, pz = point[..., 0], point[..., 1], point[..., 2]
+        cell = (
+            jnp.floor(px * inv_scale).astype(jnp.int32)
+            + jnp.floor(py * inv_scale).astype(jnp.int32)
+            + jnp.floor(pz * inv_scale).astype(jnp.int32)
+        )
+        parity_even = (cell % 2) == 0
+        child = jnp.where(parity_even, rows[..., 5], rows[..., 6]).astype(jnp.int32)
+        is_checker = ttype == D.TEX_CHECKER
+        rid = jnp.where(is_checker, jnp.maximum(child, 0), tid)
 
-    rrows = jnp.where(is_checker[..., None], _tex_rows(sd, jnp.maximum(child, 0)), rows)
+        rrows = jnp.where(
+            is_checker[..., None], _tex_rows(sd, jnp.maximum(child, 0)), rows
+        )
+    else:
+        rid = tid
+        rrows = rows
     rtype = rrows[..., 0].astype(jnp.int32)
     solid = rrows[..., 1:4]
     if sd.has_image_textures:

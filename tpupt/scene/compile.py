@@ -490,6 +490,14 @@ def compile_scene(scene: "B.Scene", bvh: bool | None = None) -> CompiledScene:
         has_normal_maps=bool((mat_normal_tex >= 0).any()),
         mat_types=tuple(sorted(set(int(t) for t in mat_type))),
         has_image_textures=bool((tex_type == D.TEX_IMAGE).any()) or env_tex_id >= 0,
+        has_checker=bool((tex_type == D.TEX_CHECKER).any()),
+        rough_all_solid=bool(
+            all(
+                int(tex_type[int(rt)]) == D.TEX_SOLID
+                for rt in mat_rough_tex
+                if int(rt) >= 0
+            )
+        ),
         env_is_map=env_tex_id >= 0,
         env_is_hdr=env_is_hdr,
         # static atlas coordinates of a plain-image env map -> sample_environment

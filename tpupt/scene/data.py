@@ -63,6 +63,8 @@ _STATIC_FIELDS = (
     "has_normal_maps",
     "mat_types",
     "has_image_textures",
+    "has_checker",
+    "rough_all_solid",
     "env_is_map",
     "env_is_hdr",
     "env_map_off",
@@ -210,6 +212,14 @@ class SceneData:
     has_normal_maps: bool = False
     mat_types: tuple = ()  # sorted tuple of MAT_* present in the scene
     has_image_textures: bool = False
+    # no checker textures in the scene -> eval_texture skips the child-resolve
+    # row gather + cell math entirely (round 5: a gather op costs ~5-8 ns/lane
+    # and the resolve ran unconditionally on every texture eval)
+    has_checker: bool = False
+    # every referenced roughness texture is SOLID -> make_shade folds the
+    # roughness value into its one material row gather instead of running the
+    # whole texture machinery (2 more gathers) for a constant (round 5)
+    rough_all_solid: bool = False
     env_is_map: bool = False
     env_is_hdr: bool = False  # f32 HDR env + importance sampling enabled
     # static atlas coordinates of the env image when it is a plain ImageTexture:
