@@ -156,7 +156,12 @@ def run_grads():
     scene, cam = cornell_box_scene(128, spp)
     compiled = scene.compile()
 
-    render_film_grads(compiled, cam, spp=spp, seed=0, replicas=4)  # compile warm-up
+    # TWO warm-up calls: the first compiles; a recurring tunnel/chip stall was
+    # observed hitting the first post-compile execution (~90 s once per
+    # process, band floor 0.36-1.3M in otherwise-healthy triplets), so a
+    # second warm-up keeps it out of the timed reps.
+    render_film_grads(compiled, cam, spp=spp, seed=0, replicas=4)
+    render_film_grads(compiled, cam, spp=spp, seed=0, replicas=4)
     print("# grads: warmup done", file=sys.stderr, flush=True)
     rates = []
     for _ in range(BENCH_REPS):
