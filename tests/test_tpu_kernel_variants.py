@@ -91,6 +91,7 @@ variants = {
     "nocqx": ({"TPUPT_TRI_CQX": "0"}, dict(sort=True, recull=False)),
     "hbm": ({}, dict(hbm=True)),
     "hbm4slot": ({"TPUPT_HBM_SLOTS": "4"}, dict(hbm=True)),
+    "cqxhbm": ({"TPUPT_CQX_HBM": "1"}, dict(hbm=True)),
 }
 for tag, (env, kw) in variants.items():
     kw = dict(kw)
@@ -106,7 +107,7 @@ print("TPU_OK")
 def test_flag_matrix_on_chip():
     out = _run_tpu(_FLAG_MATRIX)
     assert "TPU_OK" in out
-    for tag in ("unsorted", "recull", "gate", "nopair", "nocqx", "hbm", "hbm4slot"):
+    for tag in ("unsorted", "recull", "gate", "nopair", "nocqx", "hbm", "hbm4slot", "cqxhbm"):
         assert f"MATCH {tag}" in out, out[-2000:]
 
 

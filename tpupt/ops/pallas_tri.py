@@ -235,23 +235,39 @@ def _cluster_queue(cl, ox, oy, oz, dx, dy, dz, tin, tmin, sort, pad_cluster,
 
     ix, iy, iz = inv(dx), inv(dy), inv(dz)
 
-    def slab(lo, hi, o, i):
-        t1 = (lo[None, :, None] - o[:, None, :]) * i[:, None, :]
-        t2 = (hi[None, :, None] - o[:, None, :]) * i[:, None, :]
-        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+    def chunk_cull(cl_chunk):
+        """(Cc, 8) boxes -> anyhit (R, Cc), nearest-entry key (R, Cc)."""
 
-    n1, f1 = slab(cl[:, 0], cl[:, 3], ox, ix)
-    n2, f2 = slab(cl[:, 1], cl[:, 4], oy, iy)
-    n3, f3 = slab(cl[:, 2], cl[:, 5], oz, iz)
-    tn = jnp.maximum(jnp.maximum(n1, n2), jnp.maximum(n3, tmin))
-    tf = jnp.minimum(jnp.minimum(f1, f2), jnp.minimum(f3, tin[:, None, :]))
-    hit = tn <= tf  # (R, C, 128)
-    anyhit = jnp.any(hit, axis=2)  # (R, C)
+        def slab(lo, hi, o, i):
+            t1 = (lo[None, :, None] - o[:, None, :]) * i[:, None, :]
+            t2 = (hi[None, :, None] - o[:, None, :]) * i[:, None, :]
+            return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+        n1, f1 = slab(cl_chunk[:, 0], cl_chunk[:, 3], ox, ix)
+        n2, f2 = slab(cl_chunk[:, 1], cl_chunk[:, 4], oy, iy)
+        n3, f3 = slab(cl_chunk[:, 2], cl_chunk[:, 5], oz, iz)
+        tn = jnp.maximum(jnp.maximum(n1, n2), jnp.maximum(n3, tmin))
+        tf = jnp.minimum(jnp.minimum(f1, f2), jnp.minimum(f3, tin[:, None, :]))
+        hit = tn <= tf  # (R, Cc, 128)
+        return jnp.any(hit, axis=2), jnp.min(jnp.where(hit, tn, BIG), axis=2)
+
+    C = cl.shape[0]
+    CHUNK = 1024  # memory bound: the (R, Cc, 128) intermediates at C=32k rows
+    if C <= CHUNK:
+        anyhit, tn_key = chunk_cull(cl)
+    else:
+        # lax.map over cluster chunks keeps peak memory at (R, CHUNK, 128)
+        # instead of (R, C, 128) — 7.5 GB of f32 temporaries at C~7k, R~2k
+        cpad = (-C) % CHUNK
+        cl_p = jnp.pad(cl, ((0, cpad), (0, 0)), constant_values=1e30)
+        ah, tk = jax.lax.map(chunk_cull, cl_p.reshape(-1, CHUNK, cl.shape[1]))
+        anyhit = jnp.moveaxis(ah, 0, 1).reshape(ox.shape[0], -1)[:, :C]
+        tn_key = jnp.moveaxis(tk, 0, 1).reshape(ox.shape[0], -1)[:, :C]
     if sort:
-        key = jnp.min(jnp.where(hit, tn, BIG), axis=2)
+        key = tn_key
     else:
         key = jnp.broadcast_to(
-            jnp.arange(cl.shape[0], dtype=jnp.float32)[None, :], anyhit.shape
+            jnp.arange(C, dtype=jnp.float32)[None, :], anyhit.shape
         )
     key = jnp.where(anyhit, key, jnp.inf)
     order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
@@ -275,6 +291,10 @@ def _cluster_queue(cl, ox, oy, oz, dx, dy, dz, tin, tmin, sort, pad_cluster,
 # cqx (cluster-queue-from-XLA) pays while the dense per-lane cluster cull is
 # cheaper than the in-kernel phases 1-2 it replaces; gate by table size.
 CQX_MAX_CLUSTERS = 768
+# cqx for HBM scenes (round 5, TPUPT_CQX_HBM=1): phases 1-2 measured 67% of
+# the worst-case HBM row cost, but the dense XLA cull + (R, C) argsort cost
+# scales with C — the cap bounds the experiment to ~512k tris.
+CQX_HBM_MAX_CLUSTERS = 8192
 
 
 def _tri_cluster_kernel(tmin_ref, scq_ref, scn_ref, kq_ref, cl_ref, pk_ref, pk2_ref,
@@ -613,7 +633,7 @@ def _tri_cluster_kernel_hbm(
     tmin_ref, scq_ref, scn_ref, kq_ref, cl_ref, pk_hbm, pk2_hbm, ox, oy, oz, dx, dy, dz,
     tin, t_out, id_out, nx_out, ny_out, nz_out, uu_out, vv_out, mat_out,
     vword, squeue, dbuf, dsem, *, n_cl_blocks, pad_cluster, nop3=False,
-    sc_blocks=SUPER_CLUSTERS // 8, n_slots=2,
+    sc_blocks=SUPER_CLUSTERS // 8, n_slots=2, cqx=False,
 ):
     """The cluster packet kernel with pk/pk2 resident in HBM.
 
@@ -667,42 +687,56 @@ def _tri_cluster_kernel_hbm(
             hit = jnp.any(tn <= tf, axis=1, keepdims=True)
             return jnp.sum(jnp.where(hit, kbit, 0), axis=0, keepdims=True)
 
-        # ---- phases 1-2: identical cull/compact structure to the VMEM kernel
-        # (phase 0 ran in XLA; this row's queue arrives in scq_ref/scn_ref) ----
-        sqn = scn_ref[rr, 0]
+        if cqx:
+            # ---- cqx-hbm (round 5): the CLUSTER queue itself came from XLA
+            # (_cluster_queue, chunked dense cull) — phases 1-2 vanish; queue
+            # entries beyond the count are the degenerate pad cluster, so the
+            # n_slots padding is already in place ----
+            qn = scn_ref[rr, 0]
 
-        def cull_body(i, _):
-            s = scq_ref[rr, i]
-            for j in range(sc_blocks):
-                cb = s * sc_blocks + j
-                vword[pl.ds(cb, 1), 0:1] = slab_word(cl_ref, cb)
-            return 0
+            def qread(i):
+                return scq_ref[rr, i]
+        else:
+            # ---- phases 1-2: identical cull/compact structure to the VMEM
+            # kernel (phase 0 ran in XLA; queue arrives in scq_ref/scn_ref) ----
+            sqn = scn_ref[rr, 0]
 
-        lax.fori_loop(0, sqn, cull_body, 0)
+            def cull_body(i, _):
+                s = scq_ref[rr, i]
+                for j in range(sc_blocks):
+                    cb = s * sc_blocks + j
+                    vword[pl.ds(cb, 1), 0:1] = slab_word(cl_ref, cb)
+                return 0
 
-        def compact_body(i, qn):
-            s = scq_ref[rr, i]
-            for j in range(sc_blocks):
-                cb = s * sc_blocks + j
-                word = vword[cb, 0]
-                for k in range(8):
-                    squeue[qn] = cb * 8 + k
-                    qn = qn + ((word >> k) & 1)
-            return qn
+            lax.fori_loop(0, sqn, cull_body, 0)
 
-        qn = lax.fori_loop(0, sqn, compact_body, jnp.int32(0))
+            def compact_body(i, qn):
+                s = scq_ref[rr, i]
+                for j in range(sc_blocks):
+                    cb = s * sc_blocks + j
+                    word = vword[cb, 0]
+                    for k in range(8):
+                        squeue[qn] = cb * 8 + k
+                        qn = qn + ((word >> k) & 1)
+                return qn
 
-        # pad the queue to a multiple of n_slots so the slot loop below is
-        # unconditional (pad entries target the degenerate pad cluster)
-        for _pj in range(n_slots - 1):
-            squeue[qn + _pj] = pad_cluster
+            qn = lax.fori_loop(0, sqn, compact_body, jnp.int32(0))
+
+            # pad the queue to a multiple of n_slots so the slot loop below is
+            # unconditional (pad entries target the degenerate pad cluster)
+            for _pj in range(n_slots - 1):
+                squeue[qn + _pj] = pad_cluster
+
+            def qread(i):
+                return squeue[i]
+
         qn2 = ((qn + (n_slots - 1)) // n_slots) * n_slots
         if nop3:  # probe-only (TPUPT_TRI_NOP3): preamble + phases 1-2 cost
             qn2 = jnp.int32(0)
 
         # ---- phase 3: paired double-buffered DMA + Möller–Trumbore ----
         def start_dma(slot, qi):
-            c = squeue[qi]
+            c = qread(qi)
             pltpu.make_async_copy(
                 pk_hbm.at[pl.ds(c * 8, 8), :],
                 dbuf.at[pl.ds(slot * 16, 8), :],
@@ -715,7 +749,7 @@ def _tri_cluster_kernel_hbm(
             ).start()
 
         def wait_dma(slot, qi):
-            c = squeue[qi]
+            c = qread(qi)
             pltpu.make_async_copy(
                 pk_hbm.at[pl.ds(c * 8, 8), :],
                 dbuf.at[pl.ds(slot * 16, 8), :],
@@ -921,11 +955,21 @@ def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None,
     if recull is None:
         recull = os.environ.get("TPUPT_TRI_RECULL", "0") == "1"
     # cqx: ship the CLUSTER queue from XLA and drop kernel phases 1-2 — only
-    # for small tables (dense cull cost scales with C) and not for HBM scenes
+    # for small tables (dense cull cost scales with C). HBM scenes opt in via
+    # TPUPT_CQX_HBM=1 (round-5 experiment: the chunked dense cull + argsort
+    # trades ~C x 25 lane-ops/ray of XLA work for the 67%-of-row-cost
+    # in-kernel phases; A/B in BASELINE.md).
+    if hbm:
+        cqx_cap = (
+            CQX_HBM_MAX_CLUSTERS
+            if os.environ.get("TPUPT_CQX_HBM", "0") == "1"
+            else 0
+        )
+    else:
+        cqx_cap = CQX_MAX_CLUSTERS
     cqx = (
-        not hbm
-        and not recull
-        and sd.tri_cl.shape[0] <= CQX_MAX_CLUSTERS
+        not recull
+        and sd.tri_cl.shape[0] <= cqx_cap
         and os.environ.get("TPUPT_TRI_CQX", "1") == "1"
     )
     # ordered-traversal gate: needs cqx (cluster-granular queue) + sorted keys
@@ -935,7 +979,10 @@ def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None,
     # max-reduce breaks Mosaic's loop pipelining and costs far more than the
     # skipped clusters return (worst probe 17.8 -> 10.4M, seeded 34.3 -> 15.4M)
     pair = os.environ.get("TPUPT_TRI_PAIR", "1") == "1"
-    gate = cqx and sort and pair and os.environ.get("TPUPT_TRI_GATE", "0") == "1"
+    gate = (
+        cqx and not hbm and sort and pair
+        and os.environ.get("TPUPT_TRI_GATE", "0") == "1"
+    )
     if cqx:
         scq, scn, skq = _cluster_queue(
             tri_cl, *planes[:6], planes[6], jnp.float32(tmin), sort,
@@ -970,7 +1017,7 @@ def pallas_closest_tri(sd, o, d, t_in, tmin, interpret=False, hbm=None,
             _tri_cluster_kernel_hbm, n_cl_blocks=n_cl_blocks,
             pad_cluster=sd.tri_cl.shape[0] - 1,
             nop3=os.environ.get("TPUPT_TRI_NOP3", "") == "1",
-            sc_blocks=sd.tri_sc_size // 8, n_slots=n_slots,
+            sc_blocks=sd.tri_sc_size // 8, n_slots=n_slots, cqx=cqx,
         )
         pk_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
         scratch = [
