@@ -92,6 +92,7 @@ variants = {
     "hbm": ({}, dict(hbm=True)),
     "hbm4slot": ({"TPUPT_HBM_SLOTS": "4"}, dict(hbm=True)),
     "cqxhbm": ({"TPUPT_CQX_HBM": "1"}, dict(hbm=True)),
+    "wordgate": ({"TPUPT_TRI_WORDGATE": "1"}, dict(hbm=True)),
 }
 for tag, (env, kw) in variants.items():
     kw = dict(kw)
@@ -107,7 +108,7 @@ print("TPU_OK")
 def test_flag_matrix_on_chip():
     out = _run_tpu(_FLAG_MATRIX)
     assert "TPU_OK" in out
-    for tag in ("unsorted", "recull", "gate", "nopair", "nocqx", "hbm", "hbm4slot", "cqxhbm"):
+    for tag in ("unsorted", "recull", "gate", "nopair", "nocqx", "hbm", "hbm4slot", "cqxhbm", "wordgate"):
         assert f"MATCH {tag}" in out, out[-2000:]
 
 

@@ -710,14 +710,29 @@ def _tri_cluster_kernel_hbm(
 
             lax.fori_loop(0, sqn, cull_body, 0)
 
+            wordgate = os.environ.get("TPUPT_TRI_WORDGATE", "0") == "1"
+
             def compact_body(i, qn):
                 s = scq_ref[rr, i]
                 for j in range(sc_blocks):
                     cb = s * sc_blocks + j
                     word = vword[cb, 0]
-                    for k in range(8):
-                        squeue[qn] = cb * 8 + k
-                        qn = qn + ((word >> k) & 1)
+                    if wordgate:
+                        # skip the 8 scalar steps for all-miss words (most of
+                        # them at sc=16: ~14 hit clusters over ~100 words on
+                        # worst-case bigmesh rows). Probe-gated: lax.cond at
+                        # this granularity cost ~65 cy in round 2.
+                        def w_run(qn, cb=cb, word=word):
+                            for k in range(8):
+                                squeue[qn] = cb * 8 + k
+                                qn = qn + ((word >> k) & 1)
+                            return qn
+
+                        qn = lax.cond(word != 0, w_run, lambda q: q, qn)
+                    else:
+                        for k in range(8):
+                            squeue[qn] = cb * 8 + k
+                            qn = qn + ((word >> k) & 1)
                 return qn
 
             qn = lax.fori_loop(0, sqn, compact_body, jnp.int32(0))
